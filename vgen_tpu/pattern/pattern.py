@@ -1,0 +1,262 @@
+"""Pattern: compiled address-matching pattern + difficulty/charset analysis.
+
+Behavioral parity with the reference's Pattern (pattern.rs:9-294):
+  * ``matches``            -- regex is_match on the address string
+  * ``validate_charset``   -- flag literals outside the format alphabet
+                              (pattern.rs:49-177 semantics, incl. class
+                              range expansion and negated-class skip)
+  * ``estimate_difficulty``-- alphabet^fixed_chars with anchored network
+                              prefix subtraction (pattern.rs:183-253)
+
+plus what the reference does NOT have: ahead-of-time compilation to a dense
+DFA projected onto each address format's *digit alphabet* so the device can
+match without ever materializing ASCII strings on the host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Dict, List
+
+import numpy as np
+
+from vgen_tpu.crypto.address import AddressFormat
+from vgen_tpu.crypto.encode import BASE58_ALPHABET, BECH32_CHARSET
+from vgen_tpu.pattern.redfa import BOT, EOS, DFA, RegexError, compile_dfa
+
+# Valid literal characters per charset (pattern.rs:50-59)
+_VALID_CHARS = {
+    "Base58": BASE58_ALPHABET,
+    "Bech32": "023456789acdefghjklmnpqrstuvwxyz",
+    "Hex": "0123456789abcdefABCDEFx",
+}
+
+# Device symbol alphabets: device emits symbol indices, the projected table
+# maps them through the byte DFA.  Ethereum needs cased hex because EIP-55
+# addresses are mixed-case (address.rs:176-198).
+DIGITS_BASE58 = BASE58_ALPHABET
+DIGITS_BECH32 = BECH32_CHARSET
+DIGITS_ETH = "0123456789abcdef" + "ABCDEF"
+
+# Constant address prefixes the device never emits as symbols; pre-run on the
+# byte DFA at compile time.
+_DEVICE_ALPHABETS: Dict[AddressFormat, tuple] = {
+    AddressFormat.P2PKH: (DIGITS_BASE58, ""),
+    AddressFormat.P2PKH_UNCOMPRESSED: (DIGITS_BASE58, ""),
+    AddressFormat.P2SH_P2WPKH: (DIGITS_BASE58, ""),
+    AddressFormat.P2WPKH: (DIGITS_BECH32, "bc1"),
+    AddressFormat.P2TR: (DIGITS_BECH32, "bc1"),
+    AddressFormat.ETHEREUM: (DIGITS_ETH, "0x"),
+}
+
+
+@dataclass
+class DeviceDFA:
+    """DFA projected onto a format's digit alphabet for on-device matching.
+
+    table[state, sym] with sym in [0, n_digits) for address digits, then
+    sym == n_digits for EOS and sym == n_digits+1 for PAD.  ``start`` already
+    accounts for BOT and any constant address prefix ("bc1", "0x").
+    """
+
+    table: np.ndarray  # [n_states, n_digits + 2] int32
+    accept: np.ndarray  # [n_states] bool
+    start: int
+    n_digits: int
+
+    @property
+    def eos_symbol(self) -> int:
+        return self.n_digits
+
+    @property
+    def pad_symbol(self) -> int:
+        return self.n_digits + 1
+
+    def run(self, symbols: List[int]) -> bool:
+        s = self.start
+        for sym in symbols:
+            s = int(self.table[s, sym])
+        return bool(self.accept[s])
+
+
+class Pattern:
+    def __init__(self, pattern: str, case_insensitive: bool = False):
+        if pattern == "":
+            raise RegexError("Pattern cannot be empty")
+        self._original = pattern
+        self._case_insensitive = case_insensitive
+        self._dfa: DFA = compile_dfa(pattern, case_insensitive)
+
+    @property
+    def original(self) -> str:
+        return self._original
+
+    @property
+    def is_case_insensitive(self) -> bool:
+        return self._case_insensitive
+
+    def matches(self, address: str) -> bool:
+        return self._dfa.matches_text(address)
+
+    # -- device projection -------------------------------------------------
+
+    @lru_cache(maxsize=None)
+    def device_dfa(self, fmt: AddressFormat) -> DeviceDFA:
+        digits, prefix = _DEVICE_ALPHABETS[fmt]
+        dfa = self._dfa
+        start = dfa.run_symbols([BOT] + [ord(c) for c in prefix])
+        n_digits = len(digits)
+        n_states = dfa.n_states
+        table = np.zeros((n_states, n_digits + 2), dtype=np.int32)
+        for i, c in enumerate(digits):
+            table[:, i] = dfa.table[:, dfa.classes[ord(c)]]
+        table[:, n_digits] = dfa.table[:, dfa.classes[EOS]]
+        # PAD: freeze accepting sinks, kill everything else (input is over)
+        pad_col = np.where(dfa.accept, np.arange(n_states), 0)
+        table[:, n_digits + 1] = pad_col
+        return DeviceDFA(
+            table=table, accept=dfa.accept.copy(), start=start, n_digits=n_digits
+        )
+
+    # -- reference-parity analyses ----------------------------------------
+
+    def validate_charset(self, fmt: AddressFormat) -> List[str]:
+        """Literal chars in the pattern that the format's alphabet excludes.
+
+        Ports the reference's hand-rolled scanner semantics
+        (pattern.rs:49-177): escapes become literals, classes are only
+        flagged when ALL members are invalid, negated classes never flag,
+        ranges expand, metacharacters outside classes are skipped.
+        """
+        valid_chars = _VALID_CHARS[fmt.charset_name]
+
+        def is_valid(c: str) -> bool:
+            if self._case_insensitive:
+                return c.lower() in valid_chars or c.upper() in valid_chars
+            return c in valid_chars
+
+        invalid: List[str] = []
+        in_class = False
+        class_negated = False
+        class_chars: List[str] = []
+        class_start = False
+        escaped = False
+        prev_char = None
+        pending_range = False
+
+        for c in self._original:
+            if escaped:
+                escaped = False
+                if in_class:
+                    class_start = False
+                    if c not in class_chars:
+                        class_chars.append(c)
+                continue
+            if c == "\\":
+                escaped = True
+            elif c == "[":
+                in_class = True
+                class_start = True
+                class_negated = False
+                class_chars = []
+                prev_char = None
+                pending_range = False
+            elif c == "]" and in_class:
+                if not class_negated:
+                    if not any(is_valid(ch) for ch in class_chars):
+                        for ch in class_chars:
+                            if ch not in invalid:
+                                invalid.append(ch)
+                in_class = False
+                prev_char = None
+                pending_range = False
+            elif c == "^" and in_class and class_start:
+                class_negated = True
+                class_start = False
+            elif c in "^$.*+?(){}|" and not in_class:
+                class_start = False
+            elif c == "-" and in_class:
+                class_start = False
+                if prev_char is not None:
+                    pending_range = True
+            elif c.isalnum():
+                class_start = False
+                if in_class:
+                    if pending_range and prev_char is not None:
+                        lo, hi = min(prev_char, c), max(prev_char, c)
+                        for v in range(ord(lo), ord(hi) + 1):
+                            ch = chr(v)
+                            if ch not in class_chars:
+                                class_chars.append(ch)
+                        pending_range = False
+                    elif c not in class_chars:
+                        class_chars.append(c)
+                    prev_char = c
+                elif not is_valid(c) and c not in invalid:
+                    invalid.append(c)
+            else:
+                class_start = False
+                if in_class and c not in class_chars:
+                    class_chars.append(c)
+
+        return invalid
+
+    def estimate_difficulty(self, fmt: AddressFormat) -> int:
+        """1-in-N difficulty heuristic (pattern.rs:183-253 semantics)."""
+        if fmt.charset_name == "Base58":
+            alphabet = 34 if self._case_insensitive else 58
+        elif fmt.charset_name == "Bech32":
+            alphabet = 32
+        else:
+            alphabet = 16
+
+        fixed = _count_fixed_chars(self._original)
+
+        prefix_sub = 0
+        if self._original.startswith("^"):
+            rest = self._original[1:]
+            if fmt in (AddressFormat.P2PKH, AddressFormat.P2PKH_UNCOMPRESSED):
+                prefix_sub = 1 if rest.startswith("1") else 0
+            elif fmt == AddressFormat.P2SH_P2WPKH:
+                prefix_sub = 1 if rest.startswith("3") else 0
+            elif fmt in (AddressFormat.P2WPKH, AddressFormat.P2TR):
+                net = "bc1q" if fmt == AddressFormat.P2WPKH else "bc1p"
+                for ln in (4, 3, 2, 1):
+                    if rest.startswith(net[:ln]):
+                        prefix_sub = ln
+                        break
+            elif fmt == AddressFormat.ETHEREUM:
+                if rest.startswith("0x") or rest.startswith("0X"):
+                    prefix_sub = 2
+                elif rest.startswith("0"):
+                    prefix_sub = 1
+
+        effective = max(0, fixed - prefix_sub)
+        if effective == 0:
+            return 1
+        # saturating like the reference's u64 saturating_pow
+        result = alphabet**effective
+        return min(result, (1 << 64) - 1)
+
+
+def _count_fixed_chars(pattern: str) -> int:
+    """Fixed alphanumeric chars excluding metachars/classes (pattern.rs:269-294)."""
+    count = 0
+    in_class = False
+    escaped = False
+    for c in pattern:
+        if escaped:
+            escaped = False
+            continue
+        if c == "\\":
+            escaped = True
+        elif c == "[":
+            in_class = True
+        elif c == "]":
+            in_class = False
+        elif c in "^$.*+?(){}|":
+            pass
+        elif not in_class and c.isalnum():
+            count += 1
+    return count
