@@ -3,13 +3,23 @@
 Real-TPU benchmarking happens in bench.py, not in tests; tests validate
 numerics + multi-chip sharding on the CPU backend (the strategy SURVEY.md §4
 prescribes: --xla_force_host_platform_device_count).
+
+Note: the environment pre-registers a TPU PJRT plugin via sitecustomize and
+exports JAX_PLATFORMS=axon, so a plain setdefault is not enough -- we must
+override the env var AND pin jax_platforms via the config API before any
+backend initializes (otherwise every jit in the suite compiles through the
+TPU tunnel at ~60s each).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,190 @@
+"""secp256k1 base field F_p arithmetic, batched on TPU.
+
+p = 2^256 - 2^32 - 977, so 2^256 === 2^32 + 977 (mod p): reduction is two
+cheap folds plus one conditional subtract -- the same identity the reference
+exploits in its `fold_single` (shaders/field.wgsl:18-38) re-expressed over
+16-bit limbs with an extra headroom limb so no intermediate ever branches.
+
+All values: (16, *batch) uint32 limb arrays, normalized, < p at boundaries.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vgen_tpu.crypto.secp256k1 import N as _N_INT
+from vgen_tpu.crypto.secp256k1 import P as _P_INT
+from vgen_tpu.ops import u256
+from vgen_tpu.ops.u256 import LIMB_BITS, LIMB_MASK, NLIMBS
+
+P_INT = _P_INT
+N_INT = _N_INT
+_C = 977  # 2^256 mod p = 2^32 + 977
+
+
+def _p_limbs(like):
+    return u256.constant(P_INT, like.shape[1:])
+
+
+def normalize_weak_to_canonical(a):
+    """Reduce a value < 2p to [0, p) with one conditional subtract."""
+    d, borrow = u256.sub(a, _p_limbs(a))
+    return u256.select(borrow == 0, d, a)
+
+
+def add(a, b):
+    s, carry = u256.add(a, b)
+    # s_true = s + carry*2^256 === s + carry*(2^32+977)
+    cols = [s[i] for i in range(NLIMBS)]
+    cols[0] = cols[0] + carry * jnp.uint32(_C)
+    cols[2] = cols[2] + carry
+    s2, carry2 = u256.carry_propagate(cols, NLIMBS)
+    # carry2 can only be nonzero if s was within 2^33 of 2^256; fold again
+    cols = [s2[i] for i in range(NLIMBS)]
+    cols[0] = cols[0] + carry2 * jnp.uint32(_C)
+    cols[2] = cols[2] + carry2
+    s3, _ = u256.carry_propagate(cols, NLIMBS)
+    return normalize_weak_to_canonical(s3)
+
+
+def sub(a, b):
+    d, borrow = u256.sub(a, b)
+    # if a < b: d wrapped mod 2^256; add p back (mod 2^256: subtract 2^32+977)
+    corr, _ = u256.sub(d, u256.constant(1 << 32, d.shape[1:]))
+    corr, _ = u256.sub(corr, u256.constant(_C, d.shape[1:]))
+    return u256.select(borrow == 0, d, corr)
+
+
+def neg(a):
+    """-a mod p (a must be canonical; returns canonical, with -0 = 0)."""
+    d, _ = u256.sub(_p_limbs(a), a)
+    return u256.select(u256.is_zero(a), a, d)
+
+
+def _fold512(prod):
+    """(32,*B) 512-bit -> (16,*B) canonical mod-p value."""
+    lo = prod[:NLIMBS]
+    hi = prod[NLIMBS:]
+    # r1 = lo + hi*(2^32 + 977); hi*977 needs 17 limbs, plus 2-limb shift
+    cols = [lo[i] for i in range(NLIMBS)] + [jnp.zeros_like(lo[0])] * 3
+    for i in range(NLIMBS):
+        p977 = hi[i] * jnp.uint32(_C)
+        cols[i] = cols[i] + (p977 & LIMB_MASK)
+        cols[i + 1] = cols[i + 1] + (p977 >> LIMB_BITS)
+        cols[i + 2] = cols[i + 2] + hi[i]
+    r1, _ = u256.carry_propagate(cols, NLIMBS + 3)  # < 2^289
+    lo1, hi1 = r1[:NLIMBS], r1[NLIMBS:]  # hi1: 3 limbs, < 2^33
+    cols = [lo1[i] for i in range(NLIMBS)] + [jnp.zeros_like(lo1[0])]
+    for i in range(3):
+        p977 = hi1[i] * jnp.uint32(_C)
+        cols[i] = cols[i] + (p977 & LIMB_MASK)
+        cols[i + 1] = cols[i + 1] + (p977 >> LIMB_BITS)
+        cols[i + 2] = cols[i + 2] + hi1[i]
+    r2, _ = u256.carry_propagate(cols, NLIMBS + 1)  # < 2^256 + 2^66
+    lo2, hi2 = r2[:NLIMBS], r2[NLIMBS]  # hi2 scalar limb, 0 or 1
+    cols = [lo2[i] for i in range(NLIMBS)]
+    cols[0] = cols[0] + hi2 * jnp.uint32(_C)
+    cols[2] = cols[2] + hi2
+    r3, carry3 = u256.carry_propagate(cols, NLIMBS)
+    # carry3 == 0 always: lo2 < 2^256 and the fold adds < 2^34... except when
+    # lo2 is within 2^34 of 2^256; one more fold for full safety:
+    cols = [r3[i] for i in range(NLIMBS)]
+    cols[0] = cols[0] + carry3 * jnp.uint32(_C)
+    cols[2] = cols[2] + carry3
+    r4, _ = u256.carry_propagate(cols, NLIMBS)
+    return normalize_weak_to_canonical(r4)
+
+
+def mul(a, b):
+    return _fold512(u256.mul_wide(a, b))
+
+
+def square(a):
+    return _fold512(u256.square_wide(a))
+
+
+def mul_small(a, k: int):
+    """a * k mod p for small k (used for 2x, 3x, 8x in point formulas)."""
+    wide = u256.mul_small(a, k)  # 17 limbs
+    lo, hi = wide[:NLIMBS], wide[NLIMBS]
+    cols = [lo[i] for i in range(NLIMBS)]
+    cols[0] = cols[0] + hi * jnp.uint32(_C)
+    cols[2] = cols[2] + hi
+    r, carry = u256.carry_propagate(cols, NLIMBS)
+    cols = [r[i] for i in range(NLIMBS)]
+    cols[0] = cols[0] + carry * jnp.uint32(_C)
+    cols[2] = cols[2] + carry
+    r2, _ = u256.carry_propagate(cols, NLIMBS)
+    # k <= 8 keeps r2 < 2p after folds
+    return normalize_weak_to_canonical(r2)
+
+
+def pow_const(a, exponent: int):
+    """a^exponent for a static exponent, as a data-driven MSB-first ladder.
+
+    The ladder body (one square + one mul + select) traces ONCE and loops
+    via fori_loop over a constant bit array -- an unrolled chain would emit
+    hundreds of mul instances and take minutes to compile (XLA semantics:
+    everything traced is compiled; keep hot structure in lax loops).
+    """
+    assert exponent >= 1
+    nbits = exponent.bit_length()
+    bits = jnp.asarray(
+        [(exponent >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.uint32
+    )
+
+    def body(i, r):
+        r = square(r)
+        rm = mul(r, a)
+        return u256.select(bits[i] == 1, rm, r)
+
+    # MSB is always 1: start at r = a, consume remaining bits
+    return jax.lax.fori_loop(1, nbits, body, a)
+
+
+def inv(a):
+    """a^(p-2): Fermat inversion (ladder; one per batch-inversion chain).
+
+    The reference's device version is the same idea unrolled per element
+    (shaders/field.wgsl:195-210); here a single inversion is amortized over
+    a whole chain by `batch_inverse_chain`, so ladder cost is negligible.
+    """
+    return pow_const(a, P_INT - 2)
+
+
+def batch_inverse_chain(values, chain_axis: int = 0):
+    """Montgomery batch inversion along axis `chain_axis` of a limb array.
+
+    values: (16, C, *rest) with chain length C along the given batch axis
+    (axis index counts batch dims, i.e. axis 0 is values.shape[1]).
+    Returns elementwise inverses, same shape.  Zero inputs produce garbage
+    in their own slot AND would poison the chain -- callers must pre-replace
+    zeros (see curve.batch_normalize).
+    """
+    assert chain_axis == 0, "chains run along the first batch axis"
+    vals_t = jnp.moveaxis(values, 1, 0)  # (C, 16, *rest)
+    ones = u256.constant(1, values.shape[2:])
+
+    def fwd(carry, v):
+        nxt = mul(carry, v)
+        return nxt, nxt
+
+    _, prefix = jax.lax.scan(fwd, ones, vals_t)  # prefix[k] = v0*..*vk
+    total_inv = inv(prefix[-1])
+    prefix_excl = jnp.concatenate([ones[None], prefix[:-1]], axis=0)
+
+    def bwd(acc, xs):
+        v, pex = xs
+        inv_k = mul(acc, pex)
+        return mul(acc, v), inv_k
+
+    _, invs = jax.lax.scan(bwd, total_inv, (vals_t, prefix_excl), reverse=True)
+    return jnp.moveaxis(invs, 0, 1)
+
+
+def to_canonical_int_check(a) -> bool:
+    """Host helper: True if all batch elements are canonical (< p)."""
+    vals = u256.to_int(np.asarray(a).reshape(NLIMBS, -1))
+    return all(v < P_INT for v in vals)

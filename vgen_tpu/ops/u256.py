@@ -1,0 +1,224 @@
+"""256-bit unsigned integer arithmetic on 16-bit limbs in uint32 lanes.
+
+TPU-native replacement for the reference's 8x u32-limb WGSL arithmetic
+(shaders/field.wgsl:9-210).  The reference splits 32x32 multiplies into
+16-bit halves by hand (field.wgsl:110-125, `mul32`); on TPU we instead keep
+limbs at 16 bits so every partial product fits a native uint32 multiply and
+column sums stay below 2^22 -- no mulhi emulation, no per-element branches,
+carry chains are short unrolled loops vectorized across the batch (lane)
+dimension.
+
+Representation: shape (L, *batch) uint32 arrays, little-endian limbs, each
+limb < 2^16 at function boundaries ("normalized").
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+NLIMBS = 16  # 16 x 16-bit = 256 bits
+LIMB_BITS = 16
+LIMB_MASK = np.uint32(0xFFFF)
+
+U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device conversion helpers (numpy; used in setup + tests only)
+# ---------------------------------------------------------------------------
+
+def from_int(value: Union[int, Sequence[int]], nlimbs: int = NLIMBS) -> np.ndarray:
+    """Python int(s) -> (nlimbs,) or (nlimbs, B) uint32 limb array."""
+    if isinstance(value, (int, np.integer)):
+        v = int(value)
+        return np.array(
+            [(v >> (LIMB_BITS * i)) & 0xFFFF for i in range(nlimbs)], dtype=np.uint32
+        )
+    arr = np.zeros((nlimbs, len(value)), dtype=np.uint32)
+    for b, v in enumerate(value):
+        v = int(v)
+        for i in range(nlimbs):
+            arr[i, b] = (v >> (LIMB_BITS * i)) & 0xFFFF
+    return arr
+
+
+def to_int(limbs) -> Union[int, List[int]]:
+    """(L,) -> int; (L, B) -> list of ints."""
+    arr = np.asarray(limbs, dtype=np.uint64)
+    if arr.ndim == 1:
+        return sum(int(arr[i]) << (LIMB_BITS * i) for i in range(arr.shape[0]))
+    out = []
+    for b in range(arr.shape[1]):
+        out.append(sum(int(arr[i, b]) << (LIMB_BITS * i) for i in range(arr.shape[0])))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Core limb primitives (jnp; trace inside jit and Pallas alike)
+# ---------------------------------------------------------------------------
+
+def constant(value: int, batch_shape: Tuple[int, ...] = (), nlimbs: int = NLIMBS):
+    """Broadcast a Python int to a (nlimbs, *batch_shape) device constant."""
+    host = from_int(value, nlimbs)
+    arr = jnp.asarray(host, dtype=U32)
+    if batch_shape:
+        arr = arr.reshape((nlimbs,) + (1,) * len(batch_shape))
+        arr = jnp.broadcast_to(arr, (nlimbs,) + tuple(batch_shape))
+    return arr
+
+
+def carry_propagate(cols: List, n_out: int):
+    """Propagate carries over per-column accumulators (< 2^32) producing
+    n_out normalized 16-bit limbs.  Sequential over limbs, vector over batch.
+    Drops any carry out of the top limb (callers must bound inputs)."""
+    out = []
+    carry = None
+    for k in range(n_out):
+        v = cols[k] if k < len(cols) else jnp.zeros_like(cols[0])
+        if carry is not None:
+            v = v + carry
+        out.append(v & LIMB_MASK)
+        carry = v >> LIMB_BITS
+    return jnp.stack(out), carry
+
+
+def add(a, b):
+    """(a + b) mod 2^256 -> (sum_limbs, carry_out)."""
+    n = a.shape[0]
+    cols = [a[i] + b[i] for i in range(n)]
+    return carry_propagate(cols, n)
+
+
+def add_small(a, k: int):
+    """a + small-int k (k < 2^16)."""
+    n = a.shape[0]
+    cols = [a[i] + (jnp.uint32(k) if i == 0 else jnp.uint32(0)) for i in range(n)]
+    return carry_propagate(cols, n)
+
+
+def sub(a, b):
+    """(a - b) mod 2^256 -> (diff_limbs, borrow_out (1 where a < b))."""
+    n = a.shape[0]
+    out = []
+    borrow = jnp.zeros_like(a[0])
+    for i in range(n):
+        d = a[i] - b[i] - borrow
+        out.append(d & LIMB_MASK)
+        borrow = (d >> 31) & jnp.uint32(1)  # top bit set iff wrapped negative
+    return jnp.stack(out), borrow
+
+
+def geq(a, b):
+    """a >= b elementwise over the batch -> bool array of batch shape."""
+    _, borrow = sub(a, b)
+    return borrow == 0
+
+
+def is_zero(a):
+    acc = a[0]
+    for i in range(1, a.shape[0]):
+        acc = acc | a[i]
+    return acc == 0
+
+
+def eq(a, b):
+    acc = (a[0] ^ b[0])
+    for i in range(1, a.shape[0]):
+        acc = acc | (a[i] ^ b[i])
+    return acc == 0
+
+
+def select(mask, a, b):
+    """Where mask (batch-shaped bool) pick a else b; limb-wise broadcast."""
+    return jnp.where(mask[None, ...], a, b)
+
+
+def _antidiagonal_sum(x, offset: int, n_out: int):
+    """x: (n, m, *B); returns (n_out, *B) with out[k] = sum_{i+j+offset==k} x[i,j].
+
+    Implemented as static pads + one sum so the trace stays tiny and XLA sees
+    one fused reduction instead of n*m scalar-row adds.
+    """
+    n, m = x.shape[0], x.shape[1]
+    batch_pad = ((0, 0),) * (x.ndim - 2)
+    rows = [
+        jnp.pad(x[i], ((i + offset, n_out - m - i - offset),) + batch_pad)
+        for i in range(n)
+    ]
+    acc = rows[0]
+    for r in rows[1:]:
+        acc = acc + r
+    return acc
+
+
+def mul_wide(a, b):
+    """Full 256x256 -> 512-bit product: (16,*B) x (16,*B) -> (32,*B).
+
+    One (16,16,*B) outer product; per-product 16/16 split keeps every
+    anti-diagonal accumulator below 2^22 (32 terms x 2^16); one carry pass.
+    (The reference's device equivalent is fe_mul's 8x8 u32 schoolbook with
+    hand-split mul32, shaders/field.wgsl:110-167 -- on TPU the 16-bit-limb
+    choice makes every partial product a single native uint32 multiply.)
+    """
+    n = a.shape[0]
+    p = a[:, None] * b[None, :]  # (n, n, *B)
+    lo = p & LIMB_MASK
+    hi = p >> LIMB_BITS
+    cols = _antidiagonal_sum(lo, 0, 2 * n) + _antidiagonal_sum(hi, 1, 2 * n)
+    prod, _ = carry_propagate([cols[k] for k in range(2 * n)], 2 * n)
+    return prod
+
+
+def square_wide(a):
+    """a*a -> (32,*B) (same path as mul_wide; the symmetry trick only pays
+    inside hand-scheduled kernels)."""
+    return mul_wide(a, a)
+
+
+def mul_small(a, k: int):
+    """a * k for 0 <= k < 2^16 -> ((n+1),*B) limbs."""
+    n = a.shape[0]
+    ku = jnp.uint32(k)
+    cols = [jnp.zeros_like(a[0])] * (n + 1)
+    for i in range(n):
+        p = a[i] * ku
+        cols[i] = cols[i] + (p & LIMB_MASK)
+        cols[i + 1] = cols[i + 1] + (p >> LIMB_BITS)
+    prod, _ = carry_propagate(cols, n + 1)
+    return prod
+
+
+def shift_limbs_up(a, k: int, n_out: int):
+    """a * 2^(16k), widened/truncated to n_out limbs."""
+    zero = jnp.zeros_like(a[0])
+    parts = [zero] * k + [a[i] for i in range(a.shape[0])]
+    parts = parts[:n_out] + [zero] * max(0, n_out - len(parts))
+    return jnp.stack(parts[:n_out])
+
+
+def get_byte_be(a, byte_index: int):
+    """Big-endian byte #byte_index (0 = most significant) of a 256-bit value."""
+    bit_from_lsb = (31 - byte_index) * 8
+    limb = bit_from_lsb // LIMB_BITS
+    shift = bit_from_lsb % LIMB_BITS
+    return (a[limb] >> shift) & jnp.uint32(0xFF)
+
+
+def to_bytes_be(a, n_bytes: int = 32):
+    """(16,*B) -> (n_bytes,*B) big-endian bytes (each a uint32 in [0,255])."""
+    return jnp.stack([get_byte_be(a, i) for i in range(n_bytes)])
+
+
+def from_bytes_be(b):
+    """(32,*B) big-endian bytes -> (16,*B) limbs."""
+    n_bytes = b.shape[0]
+    assert n_bytes % 2 == 0
+    limbs = []
+    for i in range(n_bytes // 2):
+        hi = b[n_bytes - 2 - 2 * i]
+        lo = b[n_bytes - 1 - 2 * i]
+        limbs.append((hi << 8) | lo)
+    return jnp.stack(limbs)
