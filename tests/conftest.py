@@ -16,10 +16,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_backend_optimization_level" not in flags:
+    # the limb-arithmetic graphs are wide chains of tiny integer ops; XLA:CPU's
+    # optimizer is superlinear on them and adds minutes per jit at -O1+
+    flags += " --xla_backend_optimization_level=0"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/vgen_tpu/jaxcache-test")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
+import numpy as np
+
 P = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC2F
 N = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
 GX = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
@@ -64,16 +66,26 @@ def point_double(pt: Point) -> Point:
 
 
 def scalar_mult(k: int, pt: Point = G) -> Point:
-    """k * pt via double-and-add.  k is reduced mod n."""
+    """k * pt via MSB-first Jacobian double-and-add (single inversion)."""
     k %= N
-    result: Point = None
-    addend = pt
-    while k:
-        if k & 1:
-            result = point_add(result, addend)
-        addend = point_double(addend)
-        k >>= 1
-    return result
+    if k == 0 or pt is None:
+        return None
+    x2, y2 = pt
+    X, Y, Z = 0, 1, 0  # infinity
+    for bit in bin(k)[2:]:
+        X, Y, Z = jacobian_double(X, Y, Z) if Z else (X, Y, Z)
+        if bit == "1":
+            if Z == 0:
+                X, Y, Z = x2, y2, 1
+            else:
+                X, Y, Z = jacobian_add_affine(X, Y, Z, x2, y2)
+                if Z == 0:  # landed on infinity (P == -Q)
+                    X, Y = 0, 1
+    if Z == 0:
+        return None
+    zi = pow(Z, P - 2, P)
+    zi2 = zi * zi % P
+    return (X * zi2 % P, Y * zi2 % P * zi % P)
 
 
 def pubkey_point(secret: int) -> Point:
@@ -164,7 +176,7 @@ def jacobian_add_affine(
     if H == 0:
         if r == 0:
             return jacobian_double(X1, Y1, Z1)
-        raise ValueError("jacobian_add_affine: inverse points")
+        return (0, 1, 0)  # P == -Q: infinity
     HH = H * H % P
     HHH = H * HH % P
     V = X1 * HH % P
@@ -188,6 +200,30 @@ def jacobian_double(X1: int, Y1: int, Z1: int) -> Tuple[int, int, int]:
     return X3, Y3, Z3
 
 
+def multiples_table(
+    base: Point, count: int, first: Point = None
+) -> List[Tuple[int, int]]:
+    """Affine [first, first+base, first+2*base, ...] (count entries) via a
+    Jacobian add chain + ONE Montgomery-batched normalization."""
+    if count <= 0:
+        return []
+    if first is None:
+        first = base
+    assert first is not None and base is not None
+    bx, by = base
+    X, Y, Z = first[0], first[1], 1
+    jac: List[Tuple[int, int, int]] = [(X, Y, Z)]
+    for _ in range(count - 1):
+        X, Y, Z = jacobian_add_affine(X, Y, Z, bx, by)
+        jac.append((X, Y, Z))
+    zinvs = batch_inverse([z for (_, _, z) in jac])
+    out: List[Tuple[int, int]] = []
+    for (Xj, Yj, _), zi in zip(jac, zinvs):
+        zi2 = zi * zi % P
+        out.append((Xj * zi2 % P, Yj * zi2 % P * zi % P))
+    return out
+
+
 def ig_table(count: int, start: int = 1) -> List[Tuple[int, int]]:
     """Affine points [start*G, (start+1)*G, ..., (start+count-1)*G].
 
@@ -196,18 +232,26 @@ def ig_table(count: int, start: int = 1) -> List[Tuple[int, int]]:
     single Montgomery-batched normalization instead of a scalar-mult (or a
     field inversion) per entry.
     """
-    if count <= 0:
-        return []
-    first = scalar_mult(start, G)
-    assert first is not None
-    X, Y, Z = first[0], first[1], 1
-    jac: List[Tuple[int, int, int]] = [(X, Y, Z)]
-    for _ in range(count - 1):
-        X, Y, Z = jacobian_add_affine(X, Y, Z, GX, GY)
-        jac.append((X, Y, Z))
-    zinvs = batch_inverse([z for (_, _, z) in jac])
-    out: List[Tuple[int, int]] = []
-    for (Xj, Yj, _), zi in zip(jac, zinvs):
-        zi2 = zi * zi % P
-        out.append((Xj * zi2 % P, Yj * zi2 % P * zi % P))
+    return multiples_table(G, count, first=scalar_mult(start, G))
+
+
+def window_table(window_bits: int = 8) -> np.ndarray:
+    """Precomputed fixed-window table for device scalar multiplication:
+    shape (n_windows, 2^w, 2, 16) uint32 with entry [w, d] = affine
+    (d * 2^(w*window_bits)) * G as 16-bit limbs; d=0 rows are zero filler.
+
+    Feeds curve.scalar_mul_windowed (the on-chip taproot-tweak ladder)."""
+    n_windows = 256 // window_bits
+    D = 1 << window_bits
+    out = np.zeros((n_windows, D, 2, 16), dtype=np.uint32)
+    base: Point = G
+    for w in range(n_windows):
+        row = multiples_table(base, D - 1)
+        for d, (x, y) in enumerate(row, start=1):
+            for i in range(16):
+                out[w, d, 0, i] = (x >> (16 * i)) & 0xFFFF
+                out[w, d, 1, i] = (y >> (16 * i)) & 0xFFFF
+        # next window base = 2^window_bits * base
+        for _ in range(window_bits):
+            base = point_double(base)
     return out

@@ -160,18 +160,24 @@ def scalar_mul_windowed(scalar_limbs, table, window_bits: int = 8):
     tbl = table.astype(jnp.float32)  # (W, D, 2, 16)
     D = tbl.shape[1]
 
-    X = u256.constant(0, (B,))
-    Y = u256.constant(0, (B,))
-    Z = u256.constant(0, (B,))
-    z_zero = jnp.ones((B,), dtype=bool)
+    init = (
+        u256.constant(0, (B,)),
+        u256.constant(0, (B,)),
+        u256.constant(0, (B,)),
+        jnp.ones((B,), dtype=bool),
+    )
 
-    for w in range(n_windows):
-        limb = scalar_limbs[w // digits_per_limb]
-        shift = (w % digits_per_limb) * window_bits
+    def body(w, carry):
+        X, Y, Z, z_zero = carry
+        limb = jax.lax.dynamic_index_in_dim(
+            scalar_limbs, w // digits_per_limb, axis=0, keepdims=False
+        )
+        shift = (jnp.uint32(w) % digits_per_limb) * window_bits
         digit = (limb >> shift) & jnp.uint32(D - 1)  # (B,)
         onehot = jax.nn.one_hot(digit, D, dtype=jnp.float32)  # (B, D)
+        tblw = jax.lax.dynamic_index_in_dim(tbl, w, axis=0, keepdims=False)
         sel = jnp.einsum(
-            "bd,dcl->bcl", onehot, tbl[w], precision=jax.lax.Precision.HIGHEST
+            "bd,dcl->bcl", onehot, tblw, precision=jax.lax.Precision.HIGHEST
         )  # (B, 2, 16); exact: table entries are 16-bit limbs < 2^16 <= f32 exact
         px = jnp.transpose(sel[:, 0, :]).astype(jnp.uint32)  # (16, B)
         py = jnp.transpose(sel[:, 1, :]).astype(jnp.uint32)
@@ -181,5 +187,7 @@ def scalar_mul_windowed(scalar_limbs, table, window_bits: int = 8):
         X = u256.select(nonzero, Xn, X)
         Y = u256.select(nonzero, Yn, Y)
         Z = u256.select(nonzero, Zn, Z)
-        z_zero = z_zero & ~nonzero
+        return (X, Y, Z, z_zero & ~nonzero)
+
+    X, Y, Z, _ = jax.lax.fori_loop(0, n_windows, body, init)
     return X, Y, Z

@@ -136,38 +136,51 @@ def select(mask, a, b):
     return jnp.where(mask[None, ...], a, b)
 
 
-def _antidiagonal_sum(x, offset: int, n_out: int):
-    """x: (n, m, *B); returns (n_out, *B) with out[k] = sum_{i+j+offset==k} x[i,j].
+def _antidiag_matrices(n: int):
+    """Static 0/1 selection matrices turning the flattened (n*n) outer
+    product into 2n anti-diagonal column sums via ONE matmul each.
 
-    Implemented as static pads + one sum so the trace stays tiny and XLA sees
-    one fused reduction instead of n*m scalar-row adds.
+    S0[k, i*n+j] = [i+j == k]; S1 shifts by one (the high halves).  f32 is
+    exact here: entries are 16-bit halves (< 2^16) and each column sum has
+    at most 2n terms, so sums stay < 2^21 << 2^24 mantissa.  On TPU the
+    matmul rides the MXU; as HLO it is 2 dots instead of 2n^2 scalar-row
+    adds (compile time) -- the key trick that makes 256-bit multiplication
+    both fast and compiler-friendly.
     """
-    n, m = x.shape[0], x.shape[1]
-    batch_pad = ((0, 0),) * (x.ndim - 2)
-    rows = [
-        jnp.pad(x[i], ((i + offset, n_out - m - i - offset),) + batch_pad)
-        for i in range(n)
-    ]
-    acc = rows[0]
-    for r in rows[1:]:
-        acc = acc + r
-    return acc
+    S0 = np.zeros((2 * n, n * n), np.float32)
+    S1 = np.zeros((2 * n, n * n), np.float32)
+    for i in range(n):
+        for j in range(n):
+            S0[i + j, i * n + j] = 1.0
+            S1[i + j + 1, i * n + j] = 1.0
+    return S0, S1
+
+
+_S0_16, _S1_16 = _antidiag_matrices(NLIMBS)
 
 
 def mul_wide(a, b):
     """Full 256x256 -> 512-bit product: (16,*B) x (16,*B) -> (32,*B).
 
-    One (16,16,*B) outer product; per-product 16/16 split keeps every
-    anti-diagonal accumulator below 2^22 (32 terms x 2^16); one carry pass.
-    (The reference's device equivalent is fe_mul's 8x8 u32 schoolbook with
-    hand-split mul32, shaders/field.wgsl:110-167 -- on TPU the 16-bit-limb
-    choice makes every partial product a single native uint32 multiply.)
+    One (16,16,*B) outer product, two MXU matmuls for the column sums, one
+    carry pass.  (The reference's device equivalent is fe_mul's 8x8 u32
+    schoolbook with hand-split mul32, shaders/field.wgsl:110-167 -- the
+    16-bit-limb choice makes every partial product a single native uint32
+    multiply with no mulhi emulation.)
     """
     n = a.shape[0]
+    assert n == NLIMBS
+    batch_shape = a.shape[1:]
     p = a[:, None] * b[None, :]  # (n, n, *B)
-    lo = p & LIMB_MASK
-    hi = p >> LIMB_BITS
-    cols = _antidiagonal_sum(lo, 0, 2 * n) + _antidiagonal_sum(hi, 1, 2 * n)
+    lo = (p & LIMB_MASK).astype(jnp.float32).reshape(n * n, -1)
+    hi = (p >> LIMB_BITS).astype(jnp.float32).reshape(n * n, -1)
+    S0 = jnp.asarray(_S0_16)
+    S1 = jnp.asarray(_S1_16)
+    cols = (
+        (S0 @ lo + S1 @ hi)
+        .astype(jnp.uint32)
+        .reshape((2 * n,) + batch_shape)
+    )
     prod, _ = carry_propagate([cols[k] for k in range(2 * n)], 2 * n)
     return prod
 
@@ -176,6 +189,23 @@ def square_wide(a):
     """a*a -> (32,*B) (same path as mul_wide; the symmetry trick only pays
     inside hand-scheduled kernels)."""
     return mul_wide(a, a)
+
+
+def mul_wide_unrolled(a, b):
+    """Pad/add formulation of mul_wide for contexts where matmul is not
+    available or not profitable (e.g. small-tile Pallas bodies)."""
+    n = a.shape[0]
+    p = a[:, None] * b[None, :]
+    lo = p & LIMB_MASK
+    hi = p >> LIMB_BITS
+    batch_pad = ((0, 0),) * (a.ndim - 1)
+    acc = None
+    for off, x in ((0, lo), (1, hi)):
+        for i in range(n):
+            r = jnp.pad(x[i], ((i + off, 2 * n - n - i - off),) + batch_pad)
+            acc = r if acc is None else acc + r
+    prod, _ = carry_propagate([acc[k] for k in range(2 * n)], 2 * n)
+    return prod
 
 
 def mul_small(a, k: int):
