@@ -1,0 +1,191 @@
+"""On-device address encoders: Base58Check, Bech32/Bech32m, hex + EIP-55.
+
+The reference encodes addresses on the HOST for every candidate -- 512K
+Base58/Bech32 string builds + regex runs per GPU batch on a rayon pool
+(gpu.rs:1030-1093).  Moving the encoders on-chip is the structural win of
+the TPU design (SURVEY.md §7): the device emits *digit symbols* in each
+format's alphabet, the DFA matches them directly, and no ASCII ever
+materializes off-chip except for the winners.
+
+Each encoder returns (symbols, length):
+  symbols: (T, *B) int32 digit indices into the format's digit alphabet
+           (see pattern.pattern._DEVICE_ALPHABETS)
+  length:  (*B,) int32 actual symbol count (address length minus any
+           constant prefix); positions >= length are unspecified -- the
+           matcher overlays EOS/PAD.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vgen_tpu.ops import keccak as dev_keccak
+from vgen_tpu.ops import ripemd160 as dev_ripemd
+from vgen_tpu.ops import sha256 as dev_sha
+
+U32 = jnp.uint32
+
+# division by 58 via multiply-by-reciprocal: exact for cur < 58*256 (verified
+# exhaustively in tests) -- the VPU has no integer divide (SURVEY.md §7
+# "hard parts (c)")
+_DIV58_MUL = 4520
+_DIV58_SHIFT = 18
+
+
+def _divmod58(cur):
+    q = (cur * jnp.uint32(_DIV58_MUL)) >> _DIV58_SHIFT
+    return q, cur - q * jnp.uint32(58)
+
+
+def base58check_symbols(payload21):
+    """Base58Check of version||hash160: (21, *B) bytes -> (symbols(34), length).
+
+    Appends the 4-byte double-SHA checksum on device, long-divides the
+    25-byte number into 34 fixed digit slots, then shifts by
+    (leading-zero-digits - leading-zero-bytes) so the emitted symbol string
+    equals the canonical minimal encoding ('1' per leading zero byte).
+    """
+    B = payload21.shape[1:]
+    check = dev_sha.double_sha256_bytes(payload21, 21)[:4]
+    payload = jnp.concatenate([payload21, check], axis=0)  # (25, *B)
+
+    def div_step(bytes_arr, _):
+        # one full long-division pass: bytes_arr /= 58, remainder out
+        new_bytes = []
+        r = jnp.zeros(B, dtype=U32)
+        for i in range(25):
+            cur = (r << 8) | bytes_arr[i]
+            q, r = _divmod58(cur)
+            new_bytes.append(q)
+        return jnp.stack(new_bytes), r
+
+    _, digits_lsd = jax.lax.scan(div_step, payload, None, length=34)
+    digits = jnp.flip(digits_lsd, axis=0)  # (34, *B) MSD first
+
+    # leading zero bytes of payload / zero digits
+    z = jnp.sum(jnp.cumprod((payload == 0).astype(jnp.int32), axis=0), axis=0)
+    k = jnp.sum(jnp.cumprod((digits == 0).astype(jnp.int32), axis=0), axis=0)
+    shift = (k - z).astype(jnp.int32)  # >= 0 (see tests)
+    length = jnp.int32(34) - shift
+
+    j = jnp.arange(34, dtype=jnp.int32).reshape((34,) + (1,) * len(B))
+    idx = jnp.clip(j + shift[None], 0, 33)
+    syms = jnp.take_along_axis(digits.astype(jnp.int32), idx, axis=0)
+    return syms, length
+
+
+# --- bech32 ----------------------------------------------------------------
+
+_BECH32_GEN = (0x3B6A57B2, 0x26508E6D, 0x1EA119FA, 0x3D4233DD, 0x2A1462B3)
+
+
+def _polymod_init(hrp: str, witver: int) -> int:
+    """Host: polymod state after the constant prefix (hrp expansion + witver)."""
+    chk = 1
+    values = [ord(c) >> 5 for c in hrp] + [0] + [ord(c) & 31 for c in hrp] + [witver]
+    for v in values:
+        top = chk >> 25
+        chk = (chk & 0x1FFFFFF) << 5 ^ v
+        for i in range(5):
+            if (top >> i) & 1:
+                chk ^= _BECH32_GEN[i]
+    return chk
+
+
+def _polymod_step(chk, v):
+    top = chk >> 25
+    chk = ((chk & jnp.uint32(0x1FFFFFF)) << 5) ^ v
+    for i in range(5):
+        bit = (top >> i) & jnp.uint32(1)
+        chk = chk ^ (bit * jnp.uint32(_BECH32_GEN[i]))
+    return chk
+
+
+def segwit_symbols(program_bytes, witver: int, hrp: str = "bc"):
+    """Bech32/Bech32m data symbols after the constant "bc1" prefix.
+
+    program_bytes: (20,*B) for v0 / (32,*B) for v1.
+    Returns (symbols, length): [witver digit] + base32 groups + 6 checksum
+    digits; length is constant (39 for P2WPKH, 59 for P2TR)."""
+    n_bytes = program_bytes.shape[0]
+    B = program_bytes.shape[1:]
+    n_groups = (n_bytes * 8 + 4) // 5
+    # regroup 8-bit -> 5-bit, left-aligned zero padding (BIP173 convertbits)
+    groups = []
+    for g in range(n_groups):
+        bit0 = 5 * g  # MSB-first bit offset
+        byte0 = bit0 // 8
+        sh = bit0 % 8
+        hi = program_bytes[byte0].astype(U32)
+        lo = (
+            program_bytes[byte0 + 1].astype(U32)
+            if byte0 + 1 < n_bytes
+            else jnp.zeros(B, dtype=U32)
+        )
+        val = ((hi << 8) | lo) >> (11 - sh)
+        groups.append(val & jnp.uint32(31))
+
+    const = 1 if witver == 0 else 0x2BC830A3
+    chk = jnp.full(B, _polymod_init(hrp, witver), dtype=U32)
+    for gval in groups:
+        chk = _polymod_step(chk, gval)
+    for _ in range(6):
+        chk = _polymod_step(chk, jnp.zeros(B, dtype=U32))
+    chk = chk ^ jnp.uint32(const)
+    checksum = [(chk >> (5 * (5 - i))) & jnp.uint32(31) for i in range(6)]
+
+    witsym = jnp.full(B, witver, dtype=U32)
+    syms = jnp.stack([witsym] + groups + checksum).astype(jnp.int32)
+    length = jnp.full(B, 1 + n_groups + 6, dtype=jnp.int32)
+    return syms, length
+
+
+# --- ethereum hex + EIP-55 -------------------------------------------------
+
+# ASCII codes of lowercase hex digits, for feeding the checksum keccak
+_HEX_ASCII = np.array([ord(c) for c in "0123456789abcdef"], dtype=np.uint32)
+
+
+def eth_symbols(addr20):
+    """EIP-55 checksummed hex symbols for a 20-byte account.
+
+    addr20: (20,*B) -> (symbols(40), length=40).  Symbols: 0-9 -> 0..9,
+    a-f -> 10..15, A-F -> 16..21 (the cased-hex device alphabet)."""
+    B = addr20.shape[1:]
+    nibbles = []
+    for i in range(20):
+        nibbles.append((addr20[i] >> 4) & jnp.uint32(0xF))
+        nibbles.append(addr20[i] & jnp.uint32(0xF))
+    nib = jnp.stack(nibbles)  # (40, *B) values 0..15
+
+    hexmap = jnp.asarray(_HEX_ASCII)
+    ascii_lower = hexmap[nib]  # (40, *B) ASCII of lowercase hex
+    digest = dev_keccak.keccak256_bytes(ascii_lower, 40)  # (32, *B)
+    # checksum nibble per position
+    csn = []
+    for i in range(20):
+        csn.append((digest[i] >> 4) & jnp.uint32(0xF))
+        csn.append(digest[i] & jnp.uint32(0xF))
+    cs = jnp.stack(csn)  # (40, *B)
+
+    is_alpha = nib >= 10
+    upper = is_alpha & (cs >= 8)
+    syms = jnp.where(upper, nib + 6, nib).astype(jnp.int32)
+    length = jnp.full(B, 40, dtype=jnp.int32)
+    return syms, length
+
+
+# --- hash160 convenience ---------------------------------------------------
+
+def hash160_33(pubkey33):
+    return dev_ripemd.ripemd160_digest32(dev_sha.sha256_bytes(pubkey33, 33))
+
+
+def hash160_22(script22):
+    return dev_ripemd.ripemd160_digest32(dev_sha.sha256_bytes(script22, 22))
+
+
+def hash160_65(pubkey65):
+    return dev_ripemd.ripemd160_digest32(dev_sha.sha256_bytes_2block(pubkey65, 65))

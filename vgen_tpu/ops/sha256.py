@@ -126,6 +126,46 @@ def sha256_bytes(data, msg_len: int):
     return state_to_bytes(st)
 
 
+def sha256_bytes_2block(data, msg_len: int):
+    """SHA-256 for 56 <= msg_len <= 119 byte messages (two blocks).
+
+    Needed for the 65-byte uncompressed pubkey (P2PKH-uncompressed path,
+    which the reference only ever hashed on CPU via the bitcoin crate)."""
+    assert 56 <= msg_len <= 119
+    B = data.shape[1:]
+    zero = jnp.zeros(B, dtype=U32)
+    # block 1: bytes 0..63 straight from the message
+    w1 = []
+    for wi in range(16):
+        word = zero
+        for b in range(4):
+            idx = wi * 4 + b
+            byte = data[idx] if idx < min(msg_len, 64) else (
+                jnp.full(B, 0x80, dtype=U32) if idx == msg_len else zero
+            )
+            word = (word << 8) | byte
+        w1.append(word)
+    st = compress(initial_state(B), w1)
+    # block 2: remaining bytes + pad + length
+    w2 = []
+    bits = msg_len * 8
+    for wi in range(16):
+        word = zero
+        for b in range(4):
+            idx = 64 + wi * 4 + b
+            if idx < msg_len:
+                byte = data[idx]
+            elif idx == msg_len:
+                byte = jnp.full(B, 0x80, dtype=U32)
+            elif idx >= 126:
+                byte = jnp.full(B, (bits >> (8 * (127 - idx))) & 0xFF, dtype=U32)
+            else:
+                byte = zero
+            word = (word << 8) | byte
+        w2.append(word)
+    return state_to_bytes(compress(st, w2))
+
+
 def state_to_bytes(state):
     """(8, *B) state words -> (32, *B) big-endian digest bytes."""
     out = []
