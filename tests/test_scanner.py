@@ -1,0 +1,135 @@
+"""Scanner integration tests (device path on CPU backend + CPU fallback).
+
+Mirrors the reference's scanner tests (scanner.rs:348-466): always-match
+patterns, multiple matches, stop-flag honored under an impossible pattern,
+range semantics, rate math.
+"""
+
+import threading
+import time
+
+import pytest
+
+from vgen_tpu.crypto.address import AddressFormat, AddressGenerator
+from vgen_tpu.pattern import Pattern
+from vgen_tpu.scan import scanner as sc
+
+BATCH = 256
+
+
+def config(**kw):
+    kw.setdefault("device_batch_size", BATCH)
+    return sc.ScanConfig(**kw)
+
+
+def test_scan_finds_match():
+    res = sc.scan_with_progress(Pattern("^1"), config(format=AddressFormat.P2PKH))
+    assert len(res.matches) == 1
+    assert res.matches[0].address.startswith("1")
+    assert res.operations >= 1
+    assert res.elapsed_secs > 0
+
+
+def test_scan_finds_multiple():
+    res = sc.scan_with_progress(
+        Pattern("^1"), config(format=AddressFormat.P2PKH, count=3)
+    )
+    assert len(res.matches) == 3
+    for m in res.matches:
+        assert m.address.startswith("1")
+
+
+def test_scan_p2wpkh():
+    res = sc.scan_with_progress(Pattern("^bc1q"), config(format=AddressFormat.P2WPKH))
+    assert len(res.matches) == 1
+    assert res.matches[0].address.startswith("bc1q")
+
+
+def test_scan_with_stop_flag():
+    stop = sc.StopFlag()
+    progress = []
+
+    def cb(ops):
+        progress.append(ops)
+        if len(progress) >= 3:
+            stop.set()
+
+    res = sc.scan_with_progress(
+        Pattern("^1ZZZZZZZZZZ"), config(format=AddressFormat.P2PKH), cb, stop
+    )
+    assert res.matches == []
+    assert res.operations > 0
+
+
+def test_range_scan_exact_address():
+    key = 0xDEAD
+    addr = AddressGenerator(AddressFormat.P2PKH).generate(key.to_bytes(32, "big")).address
+    import re
+
+    pat = Pattern(f"^{re.escape(addr)}$")
+    res = sc.scan_with_progress(
+        pat, config(format=AddressFormat.P2PKH, start=0xD000, end=0xE000)
+    )
+    assert len(res.matches) == 1
+    assert res.matches[0].address == addr
+    assert res.matches[0].hex == key.to_bytes(32, "big").hex()
+
+
+def test_range_scan_exhausts_without_match():
+    pat = Pattern("^1ZZZZZZZZZZZZ")
+    res = sc.scan_with_progress(
+        pat, config(format=AddressFormat.P2PKH, start=1000, end=1000 + 2 * BATCH)
+    )
+    assert res.matches == []
+    assert res.operations == 2 * BATCH + 1
+
+
+def test_range_scan_includes_key_one():
+    # range [1, 300]: key 1 is the puzzle #1 key; base-0 edge handled on host
+    addr1 = "1BgGZ9tcN4rm9KBzDn7KprQz87SZ26SAMH"
+    import re
+
+    pat = Pattern(f"^{re.escape(addr1)}$")
+    res = sc.scan_with_progress(
+        pat, config(format=AddressFormat.P2PKH, start=1, end=300)
+    )
+    assert len(res.matches) == 1
+    assert res.matches[0].hex.endswith("01")
+
+
+def test_cpu_fallback_scan():
+    res = sc.scan_with_progress(
+        Pattern("^1"),
+        config(format=AddressFormat.P2PKH, use_device=False, cpu_batch_size=50),
+    )
+    assert len(res.matches) == 1
+    assert res.matches[0].address.startswith("1")
+
+
+def test_cpu_fallback_range():
+    key = 0x123
+    addr = AddressGenerator(AddressFormat.P2PKH).generate(key.to_bytes(32, "big")).address
+    import re
+
+    res = sc.scan_with_progress(
+        Pattern(f"^{re.escape(addr)}$"),
+        config(format=AddressFormat.P2PKH, use_device=False, start=0x100, end=0x200),
+    )
+    assert len(res.matches) == 1
+    assert res.matches[0].hex == key.to_bytes(32, "big").hex()
+
+
+def test_scan_result_rate():
+    r = sc.ScanResult(matches=[], operations=1000, elapsed_secs=0.5)
+    assert abs(r.rate() - 2000.0) < 0.01
+
+
+def test_benchmark():
+    assert sc.benchmark(AddressFormat.P2PKH, 20) > 0
+
+
+def test_default_config():
+    cfg = sc.ScanConfig()
+    assert cfg.format == AddressFormat.P2PKH
+    assert cfg.count == 1
+    assert cfg.threads is None

@@ -1,0 +1,370 @@
+"""Scan orchestration: device scan loops, CPU fallback, config/result types.
+
+Public surface parity with the reference scanner (scanner.rs:17-82):
+ScanConfig / ScanResult / ProgressCallback / scan / scan_with_progress /
+benchmark, plus the device path that replaces the reference's GPU loops
+(gpu.rs:920-1343).
+
+Device loop structure: the host precomputes one base point k_j*G per batch
+(one cheap Python scalar-mult, the same amortization trick as the
+reference's key_to_affine, gpu.rs:901-910), keeps 2+ batches in flight
+(JAX async dispatch = the reference's double-buffered Frames, gpu.rs:103-114),
+and only syncs on a batch's (count, indices, ops) triple -- a few hundred
+bytes, vs the reference's 10MB/batch hash readback.
+"""
+
+from __future__ import annotations
+
+import secrets
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, List, Optional
+
+from vgen_tpu.crypto import secp256k1 as ec
+from vgen_tpu.crypto.address import AddressFormat, AddressGenerator, GeneratedAddress
+from vgen_tpu.pattern import Pattern
+
+DEFAULT_DEVICE_BATCH = 262_144  # keys per dispatch (sweepable; gpu.rs:83 uses 512K)
+DEFAULT_CPU_BATCH = 10_000
+CHAIN_LEN = 256
+
+ProgressCallback = Callable[[int], None]
+
+
+@dataclass
+class ScanConfig:
+    format: AddressFormat = AddressFormat.P2PKH
+    count: int = 1
+    threads: Optional[int] = None
+    device_batch_size: Optional[int] = None
+    cpu_batch_size: Optional[int] = None
+    start: Optional[int] = None  # range scan inclusive start key
+    end: Optional[int] = None  # range scan inclusive end key
+    use_device: bool = True
+    in_flight: int = 2  # pipelined batches (the reference's 2 Frames)
+
+
+@dataclass
+class ScanResult:
+    matches: List[GeneratedAddress] = dc_field(default_factory=list)
+    operations: int = 0
+    elapsed_secs: float = 0.0
+
+    def rate(self) -> float:
+        return self.operations / self.elapsed_secs if self.elapsed_secs > 0 else 0.0
+
+
+class StopFlag:
+    """Shared cancellable flag (the reference's Arc<AtomicBool>)."""
+
+    def __init__(self):
+        self._event = threading.Event()
+
+    def set(self):
+        self._event.set()
+
+    def is_set(self) -> bool:
+        return self._event.is_set()
+
+
+# ---------------------------------------------------------------------------
+# Device scanner
+# ---------------------------------------------------------------------------
+
+
+class DeviceScanner:
+    """Holds device-resident tables + compiled steps for one format/batch."""
+
+    def __init__(
+        self,
+        fmt: AddressFormat,
+        batch_size: int = DEFAULT_DEVICE_BATCH,
+        chain_len: int = CHAIN_LEN,
+        device=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from vgen_tpu.scan import tables
+
+        self.fmt = fmt
+        self.batch = batch_size
+        self.chain_len = min(chain_len, batch_size)
+        if batch_size % self.chain_len:
+            raise ValueError("batch_size must be a multiple of chain_len")
+        self.device = device or jax.devices()[0]
+
+        tx, ty = tables.ig_table_limbs(batch_size)
+        self.tx = jax.device_put(jnp.asarray(tx), self.device)
+        self.ty = jax.device_put(jnp.asarray(ty), self.device)
+        self.extras = ()
+        if fmt == AddressFormat.P2TR:
+            wt = tables.window_table_u32(8)
+            self.extras = (jax.device_put(jnp.asarray(wt), self.device),)
+        self.step_stride = batch_size  # keys per batch
+        self._limb_cache = {}
+
+    def _base_limbs(self, scalar: int):
+        import jax.numpy as jnp
+
+        from vgen_tpu.scan.tables import _ints_to_limbs
+
+        pt = ec.scalar_mult(scalar)
+        assert pt is not None
+        bx = jnp.asarray(_ints_to_limbs([pt[0]])[0])
+        by = jnp.asarray(_ints_to_limbs([pt[1]])[0])
+        return bx, by
+
+    def scan(
+        self,
+        pattern: Pattern,
+        config: ScanConfig,
+        progress_callback: Optional[ProgressCallback] = None,
+        stop_flag: Optional[StopFlag] = None,
+    ) -> ScanResult:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vgen_tpu.ops import pipeline
+
+        dev_dfa = pattern.device_dfa(config.format)
+        flat, accept = pipeline.pad_device_dfa(dev_dfa)
+        dfa_flat = jnp.asarray(flat)
+        dfa_accept = jnp.asarray(accept)
+
+        is_range = config.start is not None
+        if is_range:
+            next_key = max(config.start or 1, 1)
+            end_key = config.end if config.end is not None else ec.N - 1
+            end_key = min(end_key, ec.N - 1)
+        else:
+            # random start, then sequential (the reference GPU scan does the
+            # same: one random start per run, gpu.rs:936-945)
+            next_key = 2 + secrets.randbelow(ec.N - 3)
+            end_key = None
+
+        t0 = time.time()
+        gen = AddressGenerator(config.format)
+        matches: List[GeneratedAddress] = []
+        total_ops = 0
+        inflight = deque()
+        stop = stop_flag or StopFlag()
+        target = config.count if config.count > 0 else float("inf")
+
+        # a scan window covers keys base+1 .. base+B with base = next_key-1,
+        # so key 1 (base 0 = infinity) gets a host-side check instead
+        if is_range and next_key == 1:
+            ga = gen.generate((1).to_bytes(32, "big"))
+            total_ops += 1
+            if ga is not None and pattern.matches(ga.address):
+                matches.append(ga)
+            next_key = 2
+
+        def submit():
+            nonlocal next_key
+            if is_range and next_key > end_key:
+                return False
+            base_scalar = next_key - 1  # keys are base+1+idx
+            assert base_scalar >= 1
+            if is_range:
+                remaining = min(self.batch, end_key - next_key + 1)
+            else:
+                remaining = self.batch
+            bx, by = self._base_limbs(base_scalar)
+            res = pipeline.run_scan_step(
+                config.format,
+                bx,
+                by,
+                self.tx,
+                self.ty,
+                dfa_flat,
+                dfa_accept,
+                dev_dfa.start,
+                remaining,
+                extras=self.extras,
+                chain_len=self.chain_len,
+            )
+            inflight.append((base_scalar, remaining, res))
+            nk = next_key + remaining
+            if not is_range and nk + self.batch >= ec.N:
+                nk = 1 + secrets.randbelow(ec.N // 2)  # wrap: restart randomly
+            next_key = nk
+            return True
+
+        def drain_one():
+            nonlocal total_ops
+            base_scalar, remaining, res = inflight.popleft()
+            count = int(res.count)
+            idxs = np.asarray(res.indices)
+            total_ops += int(res.ops)
+            if count > 0:
+                for idx in sorted(int(i) for i in idxs if i >= 0):
+                    if len(matches) >= target:
+                        break
+                    key = base_scalar + 1 + idx
+                    secret = key.to_bytes(32, "big")
+                    ga = gen.generate(secret)
+                    # host-side re-derivation doubles as a device-correctness
+                    # check (the reference gets the same property by encoding
+                    # GPU hashes with an independent crate, SURVEY.md §4)
+                    if ga is not None and pattern.matches(ga.address):
+                        matches.append(ga)
+            if progress_callback:
+                progress_callback(total_ops)
+
+        while True:
+            if stop.is_set() or len(matches) >= target:
+                break
+            # keep the pipeline full
+            while len(inflight) < max(1, config.in_flight):
+                if not submit():
+                    break
+            if not inflight:
+                break  # range exhausted
+            drain_one()
+
+        # drain remaining in-flight batches (their matches still count)
+        while inflight and len(matches) < target:
+            drain_one()
+
+        return ScanResult(
+            matches=matches[: config.count if config.count > 0 else None],
+            operations=total_ops,
+            elapsed_secs=time.time() - t0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# CPU fallback scanner (oracle-based; parity: scanner.rs:76-330)
+# ---------------------------------------------------------------------------
+
+
+def _scan_cpu(
+    pattern: Pattern,
+    config: ScanConfig,
+    progress_callback: Optional[ProgressCallback],
+    stop_flag: Optional[StopFlag],
+) -> ScanResult:
+    t0 = time.time()
+    gen = AddressGenerator(config.format)
+    matches: List[GeneratedAddress] = []
+    ops = 0
+    stop = stop_flag or StopFlag()
+    target = config.count if config.count > 0 else float("inf")
+    batch = config.cpu_batch_size or DEFAULT_CPU_BATCH
+
+    if config.start is not None:
+        key = max(config.start, 1)
+        end_key = config.end if config.end is not None else ec.N - 1
+        while key <= end_key and not stop.is_set() and len(matches) < target:
+            upper = min(key + batch - 1, end_key)
+            for k in range(key, upper + 1):
+                ga = gen.generate(k.to_bytes(32, "big"))
+                if ga is None:
+                    continue
+                ops += 1
+                if pattern.matches(ga.address):
+                    matches.append(ga)
+                    if len(matches) >= target:
+                        break
+            key = upper + 1
+            if progress_callback:
+                progress_callback(ops)
+    else:
+        rng = secrets.SystemRandom()
+        while not stop.is_set() and len(matches) < target:
+            for _ in range(batch):
+                k = rng.randrange(1, ec.N)
+                ga = gen.generate(k.to_bytes(32, "big"))
+                if ga is None:
+                    continue
+                if pattern.matches(ga.address):
+                    matches.append(ga)
+                    if len(matches) >= target:
+                        break
+            ops += batch
+            if progress_callback:
+                progress_callback(ops)
+
+    return ScanResult(
+        matches=matches, operations=ops, elapsed_secs=time.time() - t0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public API (reference parity: scanner.rs:76-96)
+# ---------------------------------------------------------------------------
+
+_scanner_cache = {}
+
+
+def scan_with_progress(
+    pattern: Pattern,
+    config: ScanConfig,
+    progress_callback: Optional[ProgressCallback] = None,
+    stop_flag: Optional[StopFlag] = None,
+) -> ScanResult:
+    if not config.use_device:
+        return _scan_cpu(pattern, config, progress_callback, stop_flag)
+    batch = config.device_batch_size or DEFAULT_DEVICE_BATCH
+    key = (config.format, batch)
+    if key not in _scanner_cache:
+        _scanner_cache[key] = DeviceScanner(config.format, batch)
+    return _scanner_cache[key].scan(pattern, config, progress_callback, stop_flag)
+
+
+def scan(pattern: Pattern, config: ScanConfig) -> ScanResult:
+    return scan_with_progress(pattern, config)
+
+
+def benchmark(fmt: AddressFormat, iterations: int = 10_000) -> float:
+    """CPU single-thread keygen rate (estimate-mode calibration; the device
+    rate comes from benchmark_device)."""
+    gen = AddressGenerator(fmt)
+    rng = secrets.SystemRandom()
+    t0 = time.time()
+    for _ in range(iterations):
+        gen.generate(rng.randrange(1, ec.N).to_bytes(32, "big"))
+    return iterations / (time.time() - t0)
+
+
+def benchmark_device(
+    fmt: AddressFormat = AddressFormat.P2PKH,
+    pattern_str: str = "^1BenchNeverMatches",
+    batch_size: int = DEFAULT_DEVICE_BATCH,
+    min_seconds: float = 5.0,
+    warmup_batches: int = 2,
+) -> dict:
+    """Timed device scan (compile excluded) -> keys/s metrics dict."""
+    pat = Pattern(pattern_str)
+    cfg = ScanConfig(format=fmt, count=10**9, device_batch_size=batch_size)
+    scanner = DeviceScanner(fmt, batch_size)
+
+    # warmup (compile + table upload)
+    stop = StopFlag()
+    ops_seen = {"n": 0}
+
+    def cb(ops):
+        ops_seen["n"] = ops
+        if ops >= warmup_batches * batch_size:
+            stop.set()
+
+    scanner.scan(pat, cfg, cb, stop)
+
+    stop2 = StopFlag()
+    t0 = time.time()
+
+    def cb2(ops):
+        if time.time() - t0 >= min_seconds:
+            stop2.set()
+
+    res = scanner.scan(pat, cfg, cb2, stop2)
+    return {
+        "keys_per_sec": res.rate(),
+        "operations": res.operations,
+        "elapsed": res.elapsed_secs,
+        "batch_size": batch_size,
+        "format": fmt.value,
+    }
