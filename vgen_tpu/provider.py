@@ -1,0 +1,133 @@
+"""Puzzle data providers: resolve "boha:collection:id" references.
+
+Parity with the reference's provider module (provider.rs:12-63): a pattern
+of the form "provider:collection:id" (or "provider:collection/id") resolves
+to a target address + format + optional key range; build_pattern /
+build_exact_pattern turn it into an anchored regex.
+
+Data: the reference pulls from the `boha` crate at build time.  Here the
+b1000 collection (the classic "Bitcoin Puzzle" / 32-BTC transaction) is
+embedded: every puzzle n has the key range [2^(n-1), 2^n - 1]; addresses
+are derived at import time from the publicly known solved keys (verified in
+tests against the two addresses the reference's own test suite anchors:
+puzzle 1 -> 1BgGZ9... provider.rs:81-85, puzzle 66 -> 13zb1h...
+provider.rs:110-117).  Unsolved puzzles without embedded addresses can be
+supplied via a JSON file at $VGEN_TPU_PUZZLES or ~/.config/vgen_tpu/puzzles.json
+with {"b1000": {"71": {"address": "...", "kind": "p2pkh"}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Dict, Optional, Tuple
+
+from vgen_tpu.crypto.address import AddressFormat, AddressGenerator
+
+# Publicly known solved keys of the b1000 puzzle (puzzle number -> hex key).
+_B1000_SOLVED_KEYS: Dict[int, int] = {
+    1: 0x1, 2: 0x3, 3: 0x7, 4: 0x8, 5: 0x15, 6: 0x31, 7: 0x4C, 8: 0xE0,
+    9: 0x1D3, 10: 0x202, 11: 0x483, 12: 0xA7B, 13: 0x1460, 14: 0x2930,
+    15: 0x68F3, 16: 0xC936, 17: 0x1764F, 18: 0x3080D, 19: 0x5749F,
+    20: 0xD2C55, 21: 0x1BA534, 22: 0x2DE40F, 23: 0x556E52, 24: 0xDC2A04,
+    25: 0x1FA5EE5, 26: 0x340326E, 27: 0x6AC3875, 28: 0xD916CE8,
+    29: 0x17E2551E, 30: 0x3D94CD64, 31: 0x7D4FE747, 32: 0xB862A62E,
+    33: 0x1A96CA8D8, 34: 0x34A65911D, 35: 0x4AED21170, 36: 0x9DE820A7C,
+    37: 0x1757756A93, 38: 0x22382FACD0, 39: 0x4B5F8303E9, 40: 0xE9AE4933D6,
+    41: 0x153869ACC5B, 42: 0x2A221C58D8F, 43: 0x6BD3B27C591,
+    44: 0xE02B35A358F, 45: 0x122FCA143C05, 46: 0x2EC18388D544,
+    47: 0x6CD610B53CBA, 48: 0xADE6D7CE3B9B, 49: 0x174176B015F4D,
+    50: 0x22BD43C2E9354, 51: 0x75070A1A009D4, 52: 0xEFAE164CB9E3C,
+    53: 0x180788E47E326C, 54: 0x236FB6D5AD1F43, 55: 0x6ABE1F9B67E114,
+    56: 0x9D18B63AC4FFDF, 57: 0x1EB25C90795D61C, 58: 0x2C675B852189A21,
+    59: 0x7496CBB87CAB44F, 60: 0xFC07A1825367BBE, 61: 0x13C96A3742F64906,
+    62: 0x363D541EB611ABEE, 63: 0x7CCE5EFDACCF6808, 64: 0xF7051F27B09112D4,
+    65: 0x1A838B13505B26867, 66: 0x2832ED74F2B5E35EE,
+}
+
+
+class ProviderError(ValueError):
+    pass
+
+
+@dataclass
+class ProviderResult:
+    address: str
+    format: AddressFormat
+    key_range: Optional[Tuple[int, int]]
+
+
+@lru_cache(maxsize=None)
+def _derived_address(key: int) -> str:
+    ga = AddressGenerator(AddressFormat.P2PKH).generate(key.to_bytes(32, "big"))
+    assert ga is not None
+    return ga.address
+
+
+def _external_puzzles() -> Dict[str, Dict[str, dict]]:
+    for path in (
+        os.environ.get("VGEN_TPU_PUZZLES"),
+        os.path.expanduser("~/.config/vgen_tpu/puzzles.json"),
+    ):
+        if path and os.path.exists(path):
+            try:
+                with open(path) as f:
+                    return json.load(f)
+            except (OSError, json.JSONDecodeError):
+                pass
+    return {}
+
+
+def resolve(pattern: str) -> Optional[ProviderResult]:
+    """None if `pattern` is not a provider reference (plain regex);
+    raises ProviderError for a provider reference that cannot resolve."""
+    if ":" not in pattern:
+        return None
+    provider, path = pattern.split(":", 1)
+    if provider != "boha":
+        return None
+    return _resolve_boha(path)
+
+
+def _resolve_boha(path: str) -> ProviderResult:
+    puzzle_id = path.replace(":", "/")
+    parts = puzzle_id.split("/")
+    if len(parts) != 2:
+        raise ProviderError(f"invalid puzzle reference 'boha:{path}'")
+    collection, num_str = parts
+    if collection != "b1000":
+        raise ProviderError(f"unknown collection '{collection}'")
+    try:
+        n = int(num_str)
+    except ValueError:
+        raise ProviderError(f"invalid puzzle number '{num_str}'")
+    if not 1 <= n <= 160:
+        raise ProviderError(f"puzzle number {n} out of range 1..160")
+
+    key_range = (1 << (n - 1), (1 << n) - 1)
+
+    ext = _external_puzzles().get("b1000", {}).get(str(n))
+    if ext and "address" in ext:
+        fmt = AddressFormat.from_str(ext.get("kind", "p2pkh"))
+        return ProviderResult(ext["address"], fmt, key_range)
+
+    if n in _B1000_SOLVED_KEYS:
+        return ProviderResult(
+            _derived_address(_B1000_SOLVED_KEYS[n]), AddressFormat.P2PKH, key_range
+        )
+    raise ProviderError(
+        f"puzzle b1000/{n} is unsolved and no local address data is available "
+        f"(supply it via $VGEN_TPU_PUZZLES, see vgen_tpu/provider.py)"
+    )
+
+
+def build_pattern(result: ProviderResult, prefix_length: int) -> str:
+    ln = min(prefix_length, len(result.address))
+    return "^" + re.escape(result.address[:ln])
+
+
+def build_exact_pattern(result: ProviderResult) -> str:
+    return f"^{re.escape(result.address)}$"
