@@ -1,0 +1,64 @@
+"""Benchmark: P2PKH regex scan rate on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "keys/s", "vs_baseline": N/2e6}
+
+Baseline: the reference's best-case GPU rate of 2M keys/s (README.md:176,
+BASELINE.md).  Config mirrors BASELINE.json's headline: P2PKH prefix scan
+"^1C" -- full keygen -> hash160 -> Base58Check -> regex pipeline per key.
+
+Env knobs: VGEN_BENCH_BATCH (default 262144), VGEN_BENCH_SECONDS (default 10),
+VGEN_BENCH_PATTERN (default "^1C").
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    os.environ.setdefault("VGEN_TPU_CACHE", os.path.expanduser("~/.cache/vgen_tpu"))
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.environ["VGEN_TPU_CACHE"], "jaxcache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    batch = int(os.environ.get("VGEN_BENCH_BATCH", 262_144))
+    seconds = float(os.environ.get("VGEN_BENCH_SECONDS", 10))
+    pattern = os.environ.get("VGEN_BENCH_PATTERN", "^1C")
+
+    from vgen_tpu.crypto.address import AddressFormat
+    from vgen_tpu.scan.scanner import benchmark_device
+
+    t0 = time.time()
+    stats = benchmark_device(
+        AddressFormat.P2PKH,
+        pattern_str=pattern,
+        batch_size=batch,
+        min_seconds=seconds,
+    )
+    rate = stats["keys_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "keys/sec/chip (P2PKH regex scan)",
+                "value": rate,
+                "unit": "keys/s",
+                "vs_baseline": rate / 2_000_000.0,
+            }
+        )
+    )
+    print(
+        f"# device={jax.devices()[0].device_kind} batch={batch} "
+        f"ops={stats['operations']} elapsed={stats['elapsed']:.2f}s "
+        f"total_wall={time.time()-t0:.1f}s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

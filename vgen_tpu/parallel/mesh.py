@@ -1,0 +1,251 @@
+"""Multi-chip scanning: shard_map over a device mesh.
+
+Distribution story (SURVEY.md §2.3): the key space is data-parallel across
+chips -- device d of N scans keys [base + d*B, base + (d+1)*B) per super-batch
+of stride N*B; the i*G table and DFA tables are replicated; per-device match
+counts/ops are psum-reduced over ICI so every chip (and the host) sees global
+progress with no gather of raw results.  The reference has no distribution at
+all (single wgpu queue, SURVEY.md §2.3) -- this layer is the TPU-native
+replacement for both its host<->device protocol and the missing multi-node
+scaling.
+
+Multi-host: call jax.distributed.initialize() before building the mesh (the
+mesh then spans all processes; each host submits its process-local base
+points).  Collectives ride ICI intra-slice / DCN across hosts via XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vgen_tpu.crypto import secp256k1 as ec
+from vgen_tpu.crypto.address import AddressFormat, AddressGenerator
+from vgen_tpu.pattern import Pattern
+
+
+def make_mesh(devices=None):
+    import jax
+    from jax.sharding import Mesh
+
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), axis_names=("d",))
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_step(fmt: AddressFormat, n_devices: int, chain_len: int,
+                  has_extras: bool, mesh_key: int):
+    """Build the shard_map'd full scan step for a mesh (cached per shape)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from vgen_tpu.ops import curve, pipeline
+
+    mesh = _MESHES[mesh_key]
+    tail = pipeline.make_format_tail(fmt)
+
+    def local_step(bx, by, tx, ty, dfa_flat, dfa_accept, start, remaining,
+                   *extras):
+        # shapes inside shard_map: bx (1, 16) local shard; tables replicated
+        x3, y3, valid = curve.batch_affine_add(
+            bx[0], by[0], tx, ty, chain_len=chain_len
+        )
+        res = tail(x3, y3, valid, dfa_flat, dfa_accept, start, remaining[0],
+                   *extras)
+        # global reductions over the mesh (ICI collectives)
+        total_count = jax.lax.psum(res.count, "d")
+        total_ops = jax.lax.psum(res.ops, "d")
+        return (
+            res.count[None],
+            res.indices[None],
+            res.ops[None],
+            total_count,
+            total_ops,
+        )
+
+    extra_specs = (P(),) if has_extras else ()
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(P("d"), P("d"), P(), P(), P(), P(), P(), P("d"))
+        + extra_specs,
+        out_specs=(P("d"), P("d"), P("d"), P(), P()),
+    )
+    try:
+        fn = shard_map(local_step, check_vma=False, **kwargs)
+    except TypeError:
+        fn = shard_map(local_step, check_rep=False, **kwargs)
+    return jax.jit(fn)
+
+
+_MESHES = {}
+
+
+class MeshScanner:
+    """Data-parallel scanner over all devices of a mesh.
+
+    Same scan() protocol as scan.scanner.DeviceScanner, with a key-space
+    stride of n_devices * batch per super-batch.
+    """
+
+    def __init__(
+        self,
+        fmt: AddressFormat,
+        batch_size: int = 262_144,
+        chain_len: int = 256,
+        mesh=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vgen_tpu.scan import tables
+
+        self.fmt = fmt
+        self.batch = batch_size
+        self.chain_len = min(chain_len, batch_size)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = self.mesh.devices.size
+        _MESHES[id(self.mesh)] = self.mesh
+        self._mesh_key = id(self.mesh)
+
+        replicated = NamedSharding(self.mesh, P())
+        tx, ty = tables.ig_table_limbs(batch_size)
+        self.tx = jax.device_put(jnp.asarray(tx), replicated)
+        self.ty = jax.device_put(jnp.asarray(ty), replicated)
+        self.extras = ()
+        if fmt == AddressFormat.P2TR:
+            wt = tables.window_table_u32(8)
+            self.extras = (jax.device_put(jnp.asarray(wt), replicated),)
+        self._sharding_d = NamedSharding(self.mesh, P("d"))
+        self._replicated = replicated
+
+    def _bases(self, base_scalars: Sequence[int]):
+        import jax
+        import jax.numpy as jnp
+
+        from vgen_tpu.scan.tables import _ints_to_limbs
+
+        xs, ys = [], []
+        for s in base_scalars:
+            pt = ec.scalar_mult(s)
+            xs.append(pt[0])
+            ys.append(pt[1])
+        bx = jax.device_put(jnp.asarray(_ints_to_limbs(xs)), self._sharding_d)
+        by = jax.device_put(jnp.asarray(_ints_to_limbs(ys)), self._sharding_d)
+        return bx, by
+
+    def run_super_batch(self, pattern: Pattern, base_scalar: int,
+                        remaining_total: Optional[int] = None):
+        """Scan keys [base_scalar+1, base_scalar + N*B] across the mesh.
+
+        Returns (per_dev_counts (N,), per_dev_indices (N,K), total_count,
+        total_ops) as numpy."""
+        import jax.numpy as jnp
+
+        from vgen_tpu.ops import pipeline
+
+        dev_dfa = pattern.device_dfa(self.fmt)
+        flat, accept = pipeline.pad_device_dfa(dev_dfa)
+        step = _sharded_step(
+            self.fmt, self.n_devices, self.chain_len, bool(self.extras),
+            self._mesh_key,
+        )
+        base_scalars = [
+            base_scalar + d * self.batch for d in range(self.n_devices)
+        ]
+        bx, by = self._bases(base_scalars)
+        if remaining_total is None:
+            rem = [self.batch] * self.n_devices
+        else:
+            rem = [
+                max(0, min(self.batch, remaining_total - d * self.batch))
+                for d in range(self.n_devices)
+            ]
+        counts, indices, ops, total_count, total_ops = step(
+            bx,
+            by,
+            self.tx,
+            self.ty,
+            jnp.asarray(flat),
+            jnp.asarray(accept),
+            jnp.int32(dev_dfa.start),
+            jnp.asarray(rem, dtype=jnp.int32),
+            *self.extras,
+        )
+        return (
+            np.asarray(counts),
+            np.asarray(indices),
+            np.asarray(ops),
+            int(total_count),
+            int(total_ops),
+        )
+
+    def scan(
+        self,
+        pattern: Pattern,
+        count: int = 1,
+        start: Optional[int] = None,
+        end: Optional[int] = None,
+        progress_callback=None,
+        stop_flag=None,
+        max_super_batches: Optional[int] = None,
+    ):
+        """Multi-device scan -> scan.scanner.ScanResult."""
+        import secrets as _secrets
+
+        from vgen_tpu.scan.scanner import ScanResult, StopFlag
+
+        stride = self.batch * self.n_devices
+        is_range = start is not None
+        if is_range:
+            next_key = max(start, 2)
+            end_key = min(end if end is not None else ec.N - 1, ec.N - 1)
+        else:
+            next_key = 2 + _secrets.randbelow(ec.N - stride - 3)
+            end_key = None
+
+        gen = AddressGenerator(self.fmt)
+        stop = stop_flag or StopFlag()
+        target = count if count > 0 else float("inf")
+        matches = []
+        total_ops = 0
+        batches = 0
+        t0 = time.time()
+
+        while not stop.is_set() and len(matches) < target:
+            if is_range and next_key > end_key:
+                break
+            if max_super_batches is not None and batches >= max_super_batches:
+                break
+            base_scalar = next_key - 1
+            remaining = end_key - next_key + 1 if is_range else None
+            counts, indices, ops, total_count, ops_sum = self.run_super_batch(
+                pattern, base_scalar, remaining
+            )
+            batches += 1
+            total_ops += ops_sum
+            if total_count > 0:
+                for d in range(self.n_devices):
+                    for idx in sorted(int(i) for i in indices[d] if i >= 0):
+                        if len(matches) >= target:
+                            break
+                        key = base_scalar + d * self.batch + 1 + idx
+                        ga = gen.generate(key.to_bytes(32, "big"))
+                        if ga is not None and pattern.matches(ga.address):
+                            matches.append(ga)
+            if progress_callback:
+                progress_callback(total_ops)
+            next_key += stride
+
+        return ScanResult(
+            matches=matches, operations=total_ops,
+            elapsed_secs=time.time() - t0,
+        )
