@@ -28,6 +28,13 @@ def batch_bytes(messages):
     return jnp.asarray(arr)
 
 
+def test_div58_f32_exhaustive():
+    # exact for the full carry-sweep input range
+    v = jnp.arange(1 << 20, dtype=jnp.uint32)
+    q = jax.jit(dev_enc._div58_f32)(v)
+    np.testing.assert_array_equal(np.asarray(q), np.arange(1 << 20) // 58)
+
+
 def test_div58_magic_exhaustive():
     cur = jnp.arange(58 * 256, dtype=jnp.uint32)
     q, r = jax.jit(dev_enc._divmod58)(cur)

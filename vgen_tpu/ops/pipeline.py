@@ -32,7 +32,52 @@ def match_symbols(dfa_flat, dfa_accept, start: int, width: int, syms, length):
 
     dfa_flat: (S*width,) int32 flattened transition table.
     width = n_digits + 2; EOS = width-2, PAD = width-1.
+
+    TPU-native formulation: the naive per-char `table[state*W + sym]` gather
+    serializes on the gather unit (~7 cycles/element: measured 72ms/batch =
+    the whole pipeline's bottleneck) and compiles terribly.  Instead the
+    state is carried as a one-hot (S, B) f32 matrix and each step is
+        R = T_f32 @ sym_onehot        (S,W)@(W,B) -- MXU
+        next_id = sum_s state1h * R   (VPU reduce)
+        state1h' = onehot(next_id)    (VPU compare)
+    All quantities are small ints, exact in f32.  ~2 Gflop/char rides the
+    MXU at full batch width instead of 262K serialized lookups.
     """
+    T = syms.shape[0]
+    B = syms.shape[1]
+    S = dfa_flat.shape[0] // width
+    table = dfa_flat.reshape(S, width).astype(jnp.float32)  # (S, W)
+    eos = jnp.int32(width - 2)
+    pad = jnp.int32(width - 1)
+    wids = jnp.arange(width, dtype=jnp.int32)[:, None]  # (W, 1)
+    sids = jnp.arange(S, dtype=jnp.int32)[:, None]  # (S, 1)
+
+    state1h0 = (sids == start).astype(jnp.float32)  # (S, 1)
+    state1h0 = jnp.broadcast_to(state1h0, (S, B))
+
+    def body(j, state1h):
+        row = jax.lax.dynamic_index_in_dim(
+            syms, jnp.minimum(j, T - 1), 0, keepdims=False
+        )
+        sym = jnp.where(j < length, row, jnp.where(j == length, eos, pad))
+        sym1h = (wids == sym[None, :]).astype(jnp.float32)  # (W, B)
+        R = jax.lax.dot(
+            table, sym1h, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (S, B): R[s, b] = T[s, sym_b]; HIGHEST keeps ids exact for S>256
+        next_id = jnp.sum(state1h * R, axis=0)  # (B,) exact small ints
+        return (sids.astype(jnp.float32) == next_id[None, :]).astype(
+            jnp.float32
+        )
+
+    state1h = jax.lax.fori_loop(0, T + 1, body, state1h0)
+    acc = jnp.sum(state1h * dfa_accept.astype(jnp.float32)[:, None], axis=0)
+    return acc > 0.5
+
+
+def match_symbols_gather(dfa_flat, dfa_accept, start: int, width: int, syms,
+                         length):
+    """Reference gather-based DFA runner (slow on TPU; kept for testing)."""
     T = syms.shape[0]
     B = syms.shape[1:]
     eos = jnp.int32(width - 2)

@@ -100,51 +100,25 @@ def ripemd160_digest32(digest):
     x += [zero] * 5
     x.append(jnp.full(B, 256, dtype=U32))
     x.append(zero)
-    xs = jnp.stack(x)  # (16, *B)
 
     h = [jnp.full(B, int(v), dtype=U32) for v in _IV]
 
-    perm_l = jnp.asarray(_PERM_L)
-    perm_r = jnp.asarray(_PERM_R)
-    shift_l = jnp.asarray(_SHIFT_L)
-    shift_r = jnp.asarray(_SHIFT_R)
-    k_l = jnp.asarray(_K_L)
-    k_r = jnp.asarray(_K_R)
-
-    def round_fn(rnd, carry):
-        al, bl, cl, dl, el, ar, br, cr, dr, er = carry
-        pl = jax.lax.dynamic_index_in_dim(perm_l, rnd, 0, keepdims=False)
-        pr = jax.lax.dynamic_index_in_dim(perm_r, rnd, 0, keepdims=False)
-        sl = jax.lax.dynamic_index_in_dim(shift_l, rnd, 0, keepdims=False)
-        sr = jax.lax.dynamic_index_in_dim(shift_r, rnd, 0, keepdims=False)
-        kl = jax.lax.dynamic_index_in_dim(k_l, rnd, 0, keepdims=False)
-        kr = jax.lax.dynamic_index_in_dim(k_r, rnd, 0, keepdims=False)
-
-        def line_step(i, rev: bool):
-            nonlocal al, bl, cl, dl, el, ar, br, cr, dr, er
-            # left line: f index = rnd; right line: f index = 4 - rnd.
-            # rnd is traced -> use switch over the 5 round functions.
-            xl = xs[pl[i]]
-            xr = xs[pr[i]]
-            fl = jax.lax.switch(
-                rnd, [lambda a=a: _f(a, bl, cl, dl) for a in range(5)]
-            )
-            fr = jax.lax.switch(
-                rnd, [lambda a=a: _f(4 - a, br, cr, dr) for a in range(5)]
-            )
-            tl = _rotl(al + fl + xl + kl, sl[i]) + el
-            tr = _rotl(ar + fr + xr + kr, sr[i]) + er
+    # Fully static unroll: the per-round word permutations and shift amounts
+    # become compile-time constants (the fori_loop formulation needed 32
+    # serialized dynamic gathers per round -- a measured hotspot) and every
+    # rotation is a pair of static shifts.  ~160 steps x ~12 ops traces fine.
+    al, bl, cl, dl, el = h
+    ar, br, cr, dr, er = h
+    for rnd in range(5):
+        kl = jnp.uint32(int(_K_L[rnd]))
+        kr = jnp.uint32(int(_K_R[rnd]))
+        for i in range(16):
+            xl = x[int(_PERM_L[rnd][i])]
+            xr = x[int(_PERM_R[rnd][i])]
+            tl = _rotl(al + _f(rnd, bl, cl, dl) + xl + kl, int(_SHIFT_L[rnd][i])) + el
+            tr = _rotl(ar + _f(4 - rnd, br, cr, dr) + xr + kr, int(_SHIFT_R[rnd][i])) + er
             al, bl, cl, dl, el = el, tl, bl, _rotl(cl, 10), dl
             ar, br, cr, dr, er = er, tr, br, _rotl(cr, 10), dr
-
-        for i in range(16):
-            line_step(i, False)
-        return (al, bl, cl, dl, el, ar, br, cr, dr, er)
-
-    init = tuple(h) + tuple(h)
-    al, bl, cl, dl, el, ar, br, cr, dr, er = jax.lax.fori_loop(
-        0, 5, round_fn, init
-    )
     out = [
         h[1] + cl + dr,
         h[2] + dl + er,
