@@ -1,0 +1,73 @@
+"""On-TPU validation: fused Pallas pipeline vs XLA pipeline, bit-exact.
+
+Run directly (python scripts/validate_fused.py) on a TPU host; also invoked
+by tests/test_pallas_fused.py when the test platform is a TPU.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_validation(batch: int = 262144, tile: int = 512) -> bool:
+    os.environ.setdefault(
+        "VGEN_TPU_CACHE", os.path.expanduser("~/.cache/vgen_tpu")
+    )
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.environ["VGEN_TPU_CACHE"], "jaxcache"),
+    )
+    from vgen_tpu.crypto import secp256k1 as ec
+    from vgen_tpu.crypto.address import AddressFormat
+    from vgen_tpu.ops import pallas_fused, pipeline
+    from vgen_tpu.pattern import Pattern
+    from vgen_tpu.scan.tables import _ints_to_limbs, ig_table_limbs
+
+    tx = jnp.asarray(ig_table_limbs(batch)[0])
+    ty = jnp.asarray(ig_table_limbs(batch)[1])
+    ok = True
+    for fmt, pattern in [
+        (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.P2WPKH, "^bc1qq"),
+        (AddressFormat.P2SH_P2WPKH, "^3J"),
+    ]:
+        pat = Pattern(pattern)
+        dev = pat.device_dfa(fmt)
+        flat, accept = pipeline.pad_device_dfa(dev)
+        S = accept.shape[0]
+        dfa_f32 = jnp.asarray(flat.reshape(S, -1).astype(np.float32))
+        acc_f32 = jnp.asarray(accept.astype(np.float32).reshape(S, 1))
+        flatd = jnp.asarray(flat)
+        accd = jnp.asarray(accept)
+
+        base = ec.scalar_mult(0xABCDEF012345)
+        bx = jnp.asarray(_ints_to_limbs([base[0]]))
+        by = jnp.asarray(_ints_to_limbs([base[1]]))
+
+        step = pallas_fused.fused_scan_step(fmt, batch, S, 256, tile, 1)
+        packed = np.asarray(
+            step(bx, by, tx, ty, dfa_f32, acc_f32, jnp.int32(dev.start),
+                 jnp.full((1,), batch, jnp.int32))
+        )[0]
+
+        x3, y3, valid = pipeline.jitted_points_step(256)(bx[0], by[0], tx, ty)
+        ref = pipeline.jitted_format_tail(fmt)(
+            x3, y3, valid, flatd, accd, jnp.int32(dev.start), jnp.int32(batch)
+        )
+        ref_count = int(np.asarray(ref.count))
+        ref_idx = sorted(int(i) for i in np.asarray(ref.indices) if i >= 0)
+        got_idx = sorted(int(i) for i in packed[2:] if i >= 0)
+        match = (int(packed[0]) == ref_count) and (got_idx == ref_idx)
+        print(f"{fmt.value}: fused count={packed[0]} xla count={ref_count} "
+              f"indices_equal={got_idx == ref_idx}")
+        ok = ok and match
+    return ok
+
+
+if __name__ == "__main__":
+    print("PASS" if run_validation() else "FAIL")

@@ -42,8 +42,10 @@ def _divmod58(cur):
 def _div58_f32(v):
     """v // 58 for v < 2^22, via f32 reciprocal + +-1 correction (exact;
     verified exhaustively in tests)."""
-    vf = v.astype(jnp.float32)
-    q = jnp.floor(vf * jnp.float32(1.0 / 58.0)).astype(jnp.uint32)
+    from vgen_tpu.ops.u256 import f32_to_u32, u32_to_f32
+
+    vf = u32_to_f32(v)
+    q = f32_to_u32(jnp.floor(vf * jnp.float32(1.0 / 58.0)))
     # correct possible +-1 from f32 rounding (q*58 <= ~2^22, no u32 wrap)
     q = jnp.where(q * jnp.uint32(58) > v, q - 1, q)
     q = jnp.where(v - q * jnp.uint32(58) >= jnp.uint32(58), q + 1, q)
@@ -66,7 +68,7 @@ def _pow256_base58_matrix() -> np.ndarray:
 _POW256_B58 = _pow256_base58_matrix()
 
 
-def base58check_symbols(payload21):
+def base58check_symbols(payload21, basis=None):
     """Base58Check of version||hash160: (21, *B) bytes -> (symbols(34), length).
 
     Appends the 4-byte double-SHA checksum on device, converts the 25-byte
@@ -82,13 +84,21 @@ def base58check_symbols(payload21):
     payload = jnp.concatenate([payload21, check], axis=0)  # (25, *B)
 
     # DEFAULT (bf16) precision is exact here: both operands are integers
-    # < 256 (bf16-exact) and accumulation is f32
-    basis = jnp.asarray(_POW256_B58)  # (34, 25)
-    acc = jax.lax.dot(
-        basis, payload.astype(jnp.float32),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.uint32)  # (34, *B), entries < 25*57*255 < 2^19
+    # < 256 (bf16-exact) and accumulation is f32.  `basis` is injectable so
+    # Pallas kernels can pass it as an input (no captured array literals).
+    from vgen_tpu.ops.u256 import f32_to_u32, u32_to_f32
+
+    if basis is None:
+        basis = jnp.asarray(_POW256_B58)  # (34, 25)
+    payload_f = u32_to_f32(payload)
+    payload_2d = payload_f.reshape(25, -1)
+    acc = f32_to_u32(
+        jax.lax.dot(
+            basis, payload_2d,
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+    ).reshape((34,) + tuple(B))  # entries < 25*57*255 < 2^19
 
     # one forward carry sweep in base 58 (carry < 2^19/58 + ... < 2^14)
     digits_lsd = []
@@ -101,15 +111,24 @@ def base58check_symbols(payload21):
     # carry out of digit 33 is provably 0 for 25-byte values with version 0/5
     digits = jnp.stack(digits_lsd[::-1])  # (34, *B) MSD first
 
-    # leading zero bytes of payload / zero digits
-    z = jnp.sum(jnp.cumprod((payload == 0).astype(jnp.int32), axis=0), axis=0)
-    k = jnp.sum(jnp.cumprod((digits == 0).astype(jnp.int32), axis=0), axis=0)
-    shift = (k - z).astype(jnp.int32)  # in [0, 21] (see tests)
+    # leading zero bytes of payload / zero digits (unrolled prefix-product:
+    # stays Pallas/Mosaic-compatible, unlike cumprod)
+    def _leading_zeros(rows):
+        prefix = jnp.ones(rows.shape[1:], dtype=jnp.int32)
+        count = jnp.zeros(rows.shape[1:], dtype=jnp.int32)
+        for r in range(rows.shape[0]):
+            prefix = prefix * jnp.where(rows[r] == 0, 1, 0)
+            count = count + prefix
+        return count
+
+    z = _leading_zeros(payload)
+    k = _leading_zeros(digits)
+    shift = k - z  # int32, in [0, 21] (see tests)
     length = jnp.int32(34) - shift
 
     # branchless data-dependent shift: select among the 22 possible static
     # shifts (gather-free -- TPU's gather unit serializes per element)
-    digits_i = digits.astype(jnp.int32)
+    digits_i = jax.lax.bitcast_convert_type(digits, jnp.int32)
     pad_rows = jnp.zeros((21,) + tuple(B), dtype=jnp.int32)
     ext = jnp.concatenate([digits_i, pad_rows], axis=0)  # (55, *B)
     syms = ext[:34]
@@ -179,7 +198,9 @@ def segwit_symbols(program_bytes, witver: int, hrp: str = "bc"):
     checksum = [(chk >> (5 * (5 - i))) & jnp.uint32(31) for i in range(6)]
 
     witsym = jnp.full(B, witver, dtype=U32)
-    syms = jnp.stack([witsym] + groups + checksum).astype(jnp.int32)
+    syms = jax.lax.bitcast_convert_type(
+        jnp.stack([witsym] + groups + checksum), jnp.int32
+    )
     length = jnp.full(B, 1 + n_groups + 6, dtype=jnp.int32)
     return syms, length
 

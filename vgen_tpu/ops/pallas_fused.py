@@ -1,0 +1,219 @@
+"""Pallas-fused scan pipeline: the hot path in one VMEM-resident kernel.
+
+The pure-XLA tail streams every intermediate (outer products, hash state,
+digit arrays) through HBM -- ~10+ KB per key.  This kernel keeps the entire
+EC-finish -> pubkey -> hash160 -> Base58Check -> DFA pipeline in VMEM per
+batch tile, reading only the table points + shared inverse (3 x 64 B/key)
+and writing one match byte per key.
+
+The batch-wide Montgomery inversion stays in XLA (its scan structure does
+not tile), mirroring how the reference splits `compute_jacobian` /
+`batch_normalize` into two passes (shaders/search.wgsl:39-135); everything
+the reference then did on the CPU per candidate (gpu.rs:1030-1093) lives
+INSIDE this kernel.
+
+All numeric helpers are the same jnp functions the XLA path uses -- they
+trace identically under pallas_call with batch shape (T,).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vgen_tpu.crypto.address import AddressFormat
+from vgen_tpu.ops import curve, encode, field, pipeline, u256
+
+DEFAULT_TILE = 512
+
+
+def _ec_finish(bx, by, tx, ty, inv_dx):
+    """Affine add with precomputed inverse + validity (dx == 0) mask."""
+    dx = field.sub(tx, bx)
+    valid = ~u256.is_zero(dx)
+    x3, y3 = curve.affine_add_batch(bx, by, tx, ty, inv_dx)
+    return x3, y3, valid
+
+
+FUSED_FORMATS = (
+    AddressFormat.P2PKH,
+    AddressFormat.P2PKH_UNCOMPRESSED,
+    AddressFormat.P2WPKH,
+    AddressFormat.P2SH_P2WPKH,
+)
+
+
+def _symbols_for(fmt: AddressFormat, x3, y3, b58_basis):
+    if fmt == AddressFormat.P2PKH:
+        return pipeline.symbols_p2pkh(x3, y3, b58_basis)
+    if fmt == AddressFormat.P2WPKH:
+        return pipeline.symbols_p2wpkh(x3, y3)
+    if fmt == AddressFormat.P2SH_P2WPKH:
+        return pipeline.symbols_p2sh_p2wpkh(x3, y3, b58_basis)
+    if fmt == AddressFormat.P2PKH_UNCOMPRESSED:
+        return pipeline.symbols_p2pkh_uncompressed(x3, y3, b58_basis)
+    raise ValueError(f"fused path does not support {fmt}")
+
+
+def _match_tile(table_f32, accept_f32, start, syms, length):
+    """DFA over (T_sym, T) symbols inside the kernel (same matmul scheme as
+    pipeline.match_symbols, unrolled over positions -- T_sym is small)."""
+    S, W = table_f32.shape
+    T = syms.shape[1]
+    sids = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
+    sids_f = sids.astype(jnp.float32)
+    wids = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
+    state1h = u256.bool_to_f32(sids == start)
+    n_pos = syms.shape[0]
+    eos = jnp.int32(W - 2)
+    pad = jnp.int32(W - 1)
+    for j in range(n_pos + 1):
+        row = syms[min(j, n_pos - 1)]
+        sym = jnp.where(j < length, row, jnp.where(j == length, eos, pad))
+        sym1h = u256.bool_to_f32(wids == sym[None, :])
+        R = jnp.dot(table_f32, sym1h, preferred_element_type=jnp.float32)
+        next_id = jnp.sum(state1h * R, axis=0)
+        state1h = u256.bool_to_f32(sids_f == next_id[None, :])
+    acc = jnp.sum(state1h * accept_f32, axis=0)
+    return acc > 0.5
+
+
+def _make_kernel(fmt: AddressFormat, tile: int, batch: int):
+    def kernel(start_ref, rem_ref, bx_ref, by_ref, tx_ref, ty_ref, inv_ref,
+               dfa_ref, acc_ref, b58_ref, match_ref):
+        i = pl.program_id(0)
+        bx = bx_ref[:, 0][:, None]  # (16, 1) broadcasts over (16, T)
+        by = by_ref[:, 0][:, None]
+        tx = tx_ref[...]
+        ty = ty_ref[...]
+        inv_dx = inv_ref[...]
+
+        x3, y3, valid = _ec_finish(bx, by, tx, ty, inv_dx)
+        syms, length = _symbols_for(fmt, x3, y3, b58_ref[...])
+
+        start = start_ref[0]
+        remaining = rem_ref[0]
+        gidx = i * tile + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile), 1
+        )[0]
+        valid = valid & (gidx < remaining)
+
+        matched = _match_tile(
+            dfa_ref[...], acc_ref[...], start, syms, length
+        )
+        match_ref[0, :] = jnp.where(matched & valid, 1, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
+                   tile: int = DEFAULT_TILE):
+    """Compiled fused matcher: (start, remaining, bx, by, tx, ty, inv_dx,
+    dfa_f32 (S,W), accept_f32 (S,1)) -> match (1, batch) int32."""
+    width = pipeline.FORMAT_DFA_WIDTH[fmt]
+    grid = batch // tile
+    kernel = _make_kernel(fmt, tile, batch)
+
+    limb = lambda: pl.BlockSpec((16, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # start (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # remaining (1,)
+            rep((16, 1)),  # bx
+            rep((16, 1)),  # by
+            limb(),  # tx
+            limb(),  # ty
+            limb(),  # inv_dx
+            rep((n_states, width)),  # dfa table f32
+            rep((n_states, 1)),  # accept f32
+            rep((34, 25)),  # base58 power basis f32
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, batch), jnp.int32),
+    )
+
+    def fn(start, remaining, bx, by, tx, ty, inv_dx, dfa_f32, accept_f32):
+        from vgen_tpu.ops.encode import _POW256_B58
+
+        return call(
+            jnp.reshape(jnp.asarray(start, dtype=jnp.int32), (1,)),
+            jnp.reshape(jnp.asarray(remaining, dtype=jnp.int32), (1,)),
+            bx.reshape(16, 1),
+            by.reshape(16, 1),
+            tx,
+            ty,
+            inv_dx,
+            dfa_f32,
+            accept_f32,
+            jnp.asarray(_POW256_B58),
+        )
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
+def fused_scan_step(fmt: AddressFormat, batch: int, n_states: int,
+                    chain_len: int = 256, tile: int = DEFAULT_TILE,
+                    k_sub: int = 1):
+    """Full jitted step: XLA inversion + fused Pallas tail + top-K extract.
+
+    With k_sub > 1 the step scans k_sub consecutive key windows (one base
+    point each, same replicated table) in ONE dispatch, returning a packed
+    (k_sub, 18) int32 result [[count, ops, idx0..idx15], ...].  Host<->device
+    round trips through the device tunnel cost ~27 ms each, so results for
+    k_sub * batch keys ship as a single transfer.
+
+    (bx (K,16), by (K,16), tx, ty, dfa_f32, accept_f32, start,
+     remaining (K,)) -> (K, 18) int32
+    """
+    match_fn = fused_match_fn(fmt, batch, n_states, tile)
+
+    def one(bx, by, tx, ty, dfa_f32, accept_f32, start, remaining):
+        dx = field.sub(tx, bx[:, None])
+        dx_safe = u256.select(
+            ~u256.is_zero(dx), dx, u256.constant(1, dx.shape[1:])
+        )
+        C = min(chain_len, batch)
+        inv_dx = field.batch_inverse_chain(
+            dx_safe.reshape(16, C, batch // C)
+        ).reshape(16, batch)
+        match = match_fn(
+            start, remaining, bx, by, tx, ty, inv_dx, dfa_f32, accept_f32
+        )[0]
+        idx = jnp.arange(batch, dtype=jnp.int32)
+        matched = match > 0
+        count = jnp.sum(match)
+        scores = jnp.where(matched, idx, jnp.int32(-1))
+        top, _ = jax.lax.top_k(scores, pipeline.TOP_K)
+        ops = jnp.minimum(
+            jnp.maximum(remaining, jnp.int32(0)), jnp.int32(batch)
+        )
+        return jnp.concatenate([count[None], ops[None], top])
+
+    def step(bx, by, tx, ty, dfa_f32, accept_f32, start, remaining):
+        if k_sub == 1:
+            return one(bx[0], by[0], tx, ty, dfa_f32, accept_f32, start,
+                       remaining[0])[None]
+
+        def body(_, xs):
+            bxk, byk, remk = xs
+            return None, one(bxk, byk, tx, ty, dfa_f32, accept_f32, start,
+                             remk)
+
+        _, outs = jax.lax.scan(body, None, (bx, by, remaining))
+        return outs
+
+    return jax.jit(step)

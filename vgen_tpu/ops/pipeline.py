@@ -115,22 +115,22 @@ def _base58_payload(version: int, h160):
     return jnp.concatenate([v, h160], axis=0)
 
 
-def symbols_p2pkh(x, y):
+def symbols_p2pkh(x, y, b58_basis=None):
     h160 = encode.hash160_33(compressed_pubkey_bytes(x, y))
-    return encode.base58check_symbols(_base58_payload(0, h160))
+    return encode.base58check_symbols(_base58_payload(0, h160), b58_basis)
 
 
-def symbols_p2pkh_uncompressed(x, y):
+def symbols_p2pkh_uncompressed(x, y, b58_basis=None):
     h160 = encode.hash160_65(uncompressed_pubkey_bytes(x, y))
-    return encode.base58check_symbols(_base58_payload(0, h160))
+    return encode.base58check_symbols(_base58_payload(0, h160), b58_basis)
 
 
-def symbols_p2wpkh(x, y):
+def symbols_p2wpkh(x, y, b58_basis=None):
     h160 = encode.hash160_33(compressed_pubkey_bytes(x, y))
     return encode.segwit_symbols(h160, 0)
 
 
-def symbols_p2sh_p2wpkh(x, y):
+def symbols_p2sh_p2wpkh(x, y, b58_basis=None):
     h160 = encode.hash160_33(compressed_pubkey_bytes(x, y))
     B = h160.shape[1:]
     script = jnp.concatenate(
@@ -141,7 +141,9 @@ def symbols_p2sh_p2wpkh(x, y):
         ],
         axis=0,
     )
-    return encode.base58check_symbols(_base58_payload(5, encode.hash160_22(script)))
+    return encode.base58check_symbols(
+        _base58_payload(5, encode.hash160_22(script)), b58_basis
+    )
 
 
 def symbols_ethereum(x, y):
@@ -274,3 +276,17 @@ def run_scan_step(fmt, bx, by, tx, ty, dfa_flat, dfa_accept, start, remaining,
         x3, y3, valid, dfa_flat, dfa_accept, jnp.int32(start),
         jnp.int32(remaining), *extras
     )
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_pack():
+    return jax.jit(
+        lambda count, ops, idx: jnp.concatenate(
+            [count[None], ops[None], idx]
+        )
+    )
+
+
+def pack_result(res: StepResult):
+    """[count, ops, idx0..idx15] as one device array (single host transfer)."""
+    return _jitted_pack()(res.count, res.ops, res.indices)

@@ -53,45 +53,39 @@ def _rotr(x, n: int):
 def compress(state, w):
     """One SHA-256 compression: state (8,*B) or list, w list of 16 (*B,) words.
 
+    Fully unrolled (64 static rounds, scalar K constants): no captured
+    arrays (Pallas-safe), no dynamic indexing, and the sequential round
+    chain gains nothing from loop forms anyway.
     Returns the new (8, *B) state (IV-added)."""
     a, b, c, d, e, f, g, h = [state[i] for i in range(8)]
     w = [w[i] for i in range(16)]
-    Kj = jnp.asarray(_K)
-
-    # carry = (a..h, w0..w15)
-    def chunk_body(ci, carry):
-        vals = list(carry)
-        a, b, c, d, e, f, g, h = vals[:8]
-        w = vals[8:]
-        kc = jax.lax.dynamic_index_in_dim(Kj, ci, 0, keepdims=False)  # (16,)
-        for i in range(16):
-            s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
-            ch = (e & f) ^ (~e & g)
-            t1 = h + s1 + ch + kc[i] + w[i]
-            s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
-            maj = (a & b) ^ (a & c) ^ (b & c)
-            t2 = s0 + maj
-            h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
-        # extend message schedule for the next chunk (wasted on last: cheap)
-        for i in range(16):
-            s0 = _rotr(w[(i + 1) % 16], 7) ^ _rotr(w[(i + 1) % 16], 18) ^ (
-                w[(i + 1) % 16] >> 3
+    kflat = [int(v) for v in _K.reshape(-1)]
+    for t in range(64):
+        if t >= 16:
+            s0 = _rotr(w[(t - 15) % 16], 7) ^ _rotr(w[(t - 15) % 16], 18) ^ (
+                w[(t - 15) % 16] >> 3
             )
-            s1 = _rotr(w[(i + 14) % 16], 17) ^ _rotr(w[(i + 14) % 16], 19) ^ (
-                w[(i + 14) % 16] >> 10
+            s1 = _rotr(w[(t - 2) % 16], 17) ^ _rotr(w[(t - 2) % 16], 19) ^ (
+                w[(t - 2) % 16] >> 10
             )
-            w[i] = w[i] + s0 + w[(i + 9) % 16] + s1
-        return tuple([a, b, c, d, e, f, g, h] + w)
-
-    out = jax.lax.fori_loop(0, 4, chunk_body, tuple([a, b, c, d, e, f, g, h] + w))
-    na = [out[i] + state[i] for i in range(8)]
+            w[t % 16] = w[t % 16] + s0 + w[(t - 7) % 16] + s1
+        s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = h + s1 + ch + jnp.uint32(kflat[t]) + w[t % 16]
+        s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = s0 + maj
+        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
+    na = [
+        v + state[i] for i, v in enumerate([a, b, c, d, e, f, g, h])
+    ]
     return jnp.stack(na)
 
 
 def initial_state(batch_shape):
-    return jnp.broadcast_to(
-        jnp.asarray(IV)[:, None], (8,) + tuple(batch_shape)
-    ).astype(U32)
+    return jnp.stack(
+        [jnp.full(tuple(batch_shape), int(v), dtype=U32) for v in IV]
+    )
 
 
 def words_from_bytes(data, msg_len: int):
@@ -239,7 +233,7 @@ def tagged_hash_32(midstate: np.ndarray, data32):
     for _ in range(6):
         w.append(zero)
     w.append(jnp.full(B, 96 * 8, dtype=U32))  # w[15] = bit length 768
-    st = jnp.broadcast_to(
-        jnp.asarray(midstate)[:, None], (8,) + tuple(B)
-    ).astype(U32)
+    st = jnp.stack(
+        [jnp.full(tuple(B), int(v), dtype=U32) for v in np.asarray(midstate)]
+    )
     return state_to_bytes(compress(st, w))

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,13 +62,31 @@ def to_int(limbs) -> Union[int, List[int]]:
 # ---------------------------------------------------------------------------
 
 def constant(value: int, batch_shape: Tuple[int, ...] = (), nlimbs: int = NLIMBS):
-    """Broadcast a Python int to a (nlimbs, *batch_shape) device constant."""
-    host = from_int(value, nlimbs)
-    arr = jnp.asarray(host, dtype=U32)
-    if batch_shape:
-        arr = arr.reshape((nlimbs,) + (1,) * len(batch_shape))
-        arr = jnp.broadcast_to(arr, (nlimbs,) + tuple(batch_shape))
-    return arr
+    """Broadcast a Python int to a (nlimbs, *batch_shape) device constant.
+
+    Built from scalar fills (not a materialized array literal) so the same
+    code traces inside Pallas kernels, which reject captured constant
+    arrays; XLA constant-folds it either way."""
+    rows = [
+        jnp.full(batch_shape, (int(value) >> (LIMB_BITS * i)) & 0xFFFF, dtype=U32)
+        for i in range(nlimbs)
+    ]
+    return jnp.stack(rows)
+
+
+def u32_to_f32(x):
+    """Exact uint32 -> float32 for values < 2^24 (Mosaic has no direct
+    uint32->f32 cast; bitcast through int32, whose f32 cast is supported)."""
+    return jax.lax.bitcast_convert_type(x, jnp.int32).astype(jnp.float32)
+
+
+def f32_to_u32(x):
+    """Exact float32 -> uint32 for non-negative values < 2^31."""
+    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.uint32)
+
+
+def bool_to_f32(x):
+    return jnp.where(x, jnp.float32(1.0), jnp.float32(0.0))
 
 
 def carry_propagate(cols: List, n_out: int):
@@ -137,8 +156,8 @@ def select(mask, a, b):
 
 
 def _antidiag_matrices(n: int):
-    """Static 0/1 selection matrices turning the flattened (n*n) outer
-    product into 2n anti-diagonal column sums via ONE matmul each.
+    """0/1 selection matrices turning the flattened (n*n) outer product into
+    2n anti-diagonal column sums via ONE matmul each.
 
     S0[k, i*n+j] = [i+j == k]; S1 shifts by one (the high halves).  f32 is
     exact here: entries are 16-bit halves (< 2^16) and each column sum has
@@ -146,17 +165,15 @@ def _antidiag_matrices(n: int):
     matmul rides the MXU; as HLO it is 2 dots instead of 2n^2 scalar-row
     adds (compile time) -- the key trick that makes 256-bit multiplication
     both fast and compiler-friendly.
-    """
-    S0 = np.zeros((2 * n, n * n), np.float32)
-    S1 = np.zeros((2 * n, n * n), np.float32)
-    for i in range(n):
-        for j in range(n):
-            S0[i + j, i * n + j] = 1.0
-            S1[i + j + 1, i * n + j] = 1.0
+
+    Built from iotas (XLA constant-folds; Pallas kernels may not capture
+    array literals)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2 * n, n * n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (2 * n, n * n), 1)
+    ij = cols // n + cols % n
+    S0 = (rows == ij).astype(jnp.float32)
+    S1 = (rows == ij + 1).astype(jnp.float32)
     return S0, S1
-
-
-_S0_16, _S1_16 = _antidiag_matrices(NLIMBS)
 
 
 def mul_wide(a, b):
@@ -172,15 +189,13 @@ def mul_wide(a, b):
     assert n == NLIMBS
     batch_shape = a.shape[1:]
     p = a[:, None] * b[None, :]  # (n, n, *B)
-    lo = (p & LIMB_MASK).astype(jnp.float32).reshape(n * n, -1)
-    hi = (p >> LIMB_BITS).astype(jnp.float32).reshape(n * n, -1)
-    S0 = jnp.asarray(_S0_16)
-    S1 = jnp.asarray(_S1_16)
-    cols = (
-        (S0 @ lo + S1 @ hi)
-        .astype(jnp.uint32)
-        .reshape((2 * n,) + batch_shape)
-    )
+    lo = u32_to_f32(p & LIMB_MASK).reshape(n * n, -1)
+    hi = u32_to_f32(p >> LIMB_BITS).reshape(n * n, -1)
+    S0, S1 = _antidiag_matrices(n)
+    cols = f32_to_u32(
+        jnp.dot(S0, lo, preferred_element_type=jnp.float32)
+        + jnp.dot(S1, hi, preferred_element_type=jnp.float32)
+    ).reshape((2 * n,) + batch_shape)
     prod, _ = carry_propagate([cols[k] for k in range(2 * n)], 2 * n)
     return prod
 

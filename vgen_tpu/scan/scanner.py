@@ -43,7 +43,8 @@ class ScanConfig:
     start: Optional[int] = None  # range scan inclusive start key
     end: Optional[int] = None  # range scan inclusive end key
     use_device: bool = True
-    in_flight: int = 2  # pipelined batches (the reference's 2 Frames)
+    in_flight: int = 4  # pipelined batches (generalizes the reference's 2
+    # double-buffered Frames; deeper here to hide device-tunnel RTT)
 
 
 @dataclass
@@ -83,6 +84,7 @@ class DeviceScanner:
         batch_size: int = DEFAULT_DEVICE_BATCH,
         chain_len: int = CHAIN_LEN,
         device=None,
+        k_sub: int = 8,
     ):
         import jax
         import jax.numpy as jnp
@@ -95,6 +97,7 @@ class DeviceScanner:
         if batch_size % self.chain_len:
             raise ValueError("batch_size must be a multiple of chain_len")
         self.device = device or jax.devices()[0]
+        self.k_sub = k_sub
 
         tx, ty = tables.ig_table_limbs(batch_size)
         self.tx = jax.device_put(jnp.asarray(tx), self.device)
@@ -124,6 +127,7 @@ class DeviceScanner:
         progress_callback: Optional[ProgressCallback] = None,
         stop_flag: Optional[StopFlag] = None,
     ) -> ScanResult:
+        import jax
         import jax.numpy as jnp
         import numpy as np
 
@@ -133,6 +137,24 @@ class DeviceScanner:
         flat, accept = pipeline.pad_device_dfa(dev_dfa)
         dfa_flat = jnp.asarray(flat)
         dfa_accept = jnp.asarray(accept)
+
+        # Fused Pallas path: TPU-only (Mosaic), supported formats.  k_sub
+        # consecutive windows per dispatch amortize the device-tunnel RTT.
+        fused_step = None
+        k_sub = self.k_sub
+        if self.device.platform not in ("cpu",):
+            from vgen_tpu.ops import pallas_fused
+
+            if config.format in pallas_fused.FUSED_FORMATS:
+                S = accept.shape[0]
+                fused_step = pallas_fused.fused_scan_step(
+                    config.format, self.batch, S, self.chain_len,
+                    k_sub=k_sub,
+                )
+                dfa_f32 = jnp.asarray(
+                    flat.reshape(S, -1).astype(np.float32)
+                )
+                acc_f32 = jnp.asarray(accept.astype(np.float32).reshape(S, 1))
 
         is_range = config.start is not None
         if is_range:
@@ -166,51 +188,73 @@ class DeviceScanner:
             nonlocal next_key
             if is_range and next_key > end_key:
                 return False
-            base_scalar = next_key - 1  # keys are base+1+idx
-            assert base_scalar >= 1
-            if is_range:
-                remaining = min(self.batch, end_key - next_key + 1)
+            n_sub = k_sub if fused_step is not None else 1
+            base_scalars = []
+            remainings = []
+            for k in range(n_sub):
+                window_start = next_key + k * self.batch
+                base_scalars.append(window_start - 1)  # keys are base+1+idx
+                if is_range:
+                    remainings.append(
+                        max(0, min(self.batch, end_key - window_start + 1))
+                    )
+                else:
+                    remainings.append(self.batch)
+            assert base_scalars[0] >= 1
+            if fused_step is not None:
+                from vgen_tpu.scan.tables import _ints_to_limbs
+
+                pts = [ec.scalar_mult(s) for s in base_scalars]
+                bx = jnp.asarray(_ints_to_limbs([p[0] for p in pts]))
+                by = jnp.asarray(_ints_to_limbs([p[1] for p in pts]))
+                packed = fused_step(
+                    bx, by, self.tx, self.ty, dfa_f32, acc_f32,
+                    jnp.int32(dev_dfa.start),
+                    jnp.asarray(remainings, dtype=jnp.int32),
+                )
             else:
-                remaining = self.batch
-            bx, by = self._base_limbs(base_scalar)
-            res = pipeline.run_scan_step(
-                config.format,
-                bx,
-                by,
-                self.tx,
-                self.ty,
-                dfa_flat,
-                dfa_accept,
-                dev_dfa.start,
-                remaining,
-                extras=self.extras,
-                chain_len=self.chain_len,
-            )
-            inflight.append((base_scalar, remaining, res))
-            nk = next_key + remaining
-            if not is_range and nk + self.batch >= ec.N:
-                nk = 1 + secrets.randbelow(ec.N // 2)  # wrap: restart randomly
+                bx, by = self._base_limbs(base_scalars[0])
+                res = pipeline.run_scan_step(
+                    config.format,
+                    bx,
+                    by,
+                    self.tx,
+                    self.ty,
+                    dfa_flat,
+                    dfa_accept,
+                    dev_dfa.start,
+                    remainings[0],
+                    extras=self.extras,
+                    chain_len=self.chain_len,
+                )
+                packed = pipeline.pack_result(res)[None]
+            inflight.append((base_scalars, packed))
+            nk = next_key + self.batch * n_sub
+            if not is_range and nk + self.batch * (n_sub + 1) >= ec.N:
+                nk = 2 + secrets.randbelow(ec.N // 2)  # wrap: restart randomly
             next_key = nk
             return True
 
         def drain_one():
             nonlocal total_ops
-            base_scalar, remaining, res = inflight.popleft()
-            count = int(res.count)
-            idxs = np.asarray(res.indices)
-            total_ops += int(res.ops)
-            if count > 0:
-                for idx in sorted(int(i) for i in idxs if i >= 0):
-                    if len(matches) >= target:
-                        break
-                    key = base_scalar + 1 + idx
-                    secret = key.to_bytes(32, "big")
-                    ga = gen.generate(secret)
-                    # host-side re-derivation doubles as a device-correctness
-                    # check (the reference gets the same property by encoding
-                    # GPU hashes with an independent crate, SURVEY.md §4)
-                    if ga is not None and pattern.matches(ga.address):
-                        matches.append(ga)
+            base_scalars, packed = inflight.popleft()
+            arr = np.asarray(packed)  # ONE transfer: (K, [count, ops, idx...])
+            for k, base_scalar in enumerate(base_scalars):
+                count = int(arr[k, 0])
+                total_ops += int(arr[k, 1])
+                if count > 0:
+                    for idx in sorted(int(i) for i in arr[k, 2:] if i >= 0):
+                        if len(matches) >= target:
+                            break
+                        key = base_scalar + 1 + idx
+                        secret = key.to_bytes(32, "big")
+                        ga = gen.generate(secret)
+                        # host-side re-derivation doubles as a device-
+                        # correctness check (the reference gets the same
+                        # property by encoding GPU hashes with an independent
+                        # crate, SURVEY.md §4)
+                        if ga is not None and pattern.matches(ga.address):
+                            matches.append(ga)
             if progress_callback:
                 progress_callback(total_ops)
 
