@@ -28,9 +28,60 @@ def run_validation(batch: int = 262144, tile: int = 512) -> bool:
     from vgen_tpu.pattern import Pattern
     from vgen_tpu.scan.tables import _ints_to_limbs, ig_table_limbs
 
+    from vgen_tpu.crypto.address import AddressGenerator
+
     tx = jnp.asarray(ig_table_limbs(batch)[0])
     ty = jnp.asarray(ig_table_limbs(batch)[1])
     ok = True
+
+    # ORACLE ground truth on a small window (catches numerics bugs that
+    # corrupt fused and XLA paths identically, e.g. bf16 matmul rounding)
+    n_oracle = 2048
+    base_oracle = 0xABCDEF012345
+    for fmt, pattern in [
+        (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.P2WPKH, "^bc1qq"),
+        (AddressFormat.P2SH_P2WPKH, "^3J"),
+    ]:
+        from vgen_tpu.pattern import Pattern as _P
+
+        gen = AddressGenerator(fmt)
+        pat = _P(pattern)
+        expect_small = sorted(
+            i
+            for i in range(n_oracle)
+            if pat.matches(
+                gen.generate(
+                    (base_oracle + 1 + i).to_bytes(32, "big")
+                ).address
+            )
+        )
+        dev = pat.device_dfa(fmt)
+        flat, accept = pipeline.pad_device_dfa(dev)
+        S = accept.shape[0]
+        base = ec.scalar_mult(base_oracle)
+        bx1 = jnp.asarray(_ints_to_limbs([base[0]]))
+        by1 = jnp.asarray(_ints_to_limbs([base[1]]))
+        step = pallas_fused.fused_scan_step(fmt, batch, S, 256, tile, 1)
+        packed = np.asarray(
+            step(
+                bx1, by1, tx, ty,
+                jnp.asarray(flat.reshape(S, -1).astype(np.float32)),
+                jnp.asarray(accept.astype(np.float32).reshape(S, 1)),
+                jnp.int32(dev.start),
+                jnp.full((1,), n_oracle, jnp.int32),
+            )
+        )[0]
+        got_small = sorted(int(i) for i in packed[2:] if i >= 0)
+        # result slots cap at TOP_K=16 and keep the LARGEST indices
+        expect_capped = expect_small[-16:]
+        oracle_ok = got_small == expect_capped and int(packed[0]) == len(
+            expect_small
+        )
+        print(f"{fmt.value}: oracle window match = {oracle_ok} "
+              f"(count {packed[0]} vs {len(expect_small)})")
+        ok = ok and oracle_ok
+
     for fmt, pattern in [
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "^bc1qq"),

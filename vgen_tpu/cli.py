@@ -523,7 +523,28 @@ def cmd_list_devices(args) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA/Mosaic compile cache: first-ever compile of the fused
+    pipeline takes minutes on TPU; every later CLI invocation reuses it."""
+    import os
+
+    cache = os.path.join(
+        os.environ.get(
+            "VGEN_TPU_CACHE", os.path.expanduser("~/.cache/vgen_tpu")
+        ),
+        "jaxcache",
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def run_from_args(argv: List[str]) -> int:
+    _enable_compile_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.command == "generate":

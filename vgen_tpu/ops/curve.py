@@ -176,9 +176,14 @@ def scalar_mul_windowed(scalar_limbs, table, window_bits: int = 8):
         digit = (limb >> shift) & jnp.uint32(D - 1)  # (B,)
         onehot = jax.nn.one_hot(digit, D, dtype=jnp.float32)  # (B, D)
         tblw = jax.lax.dynamic_index_in_dim(tbl, w, axis=0, keepdims=False)
-        sel = jnp.einsum(
-            "bd,dcl->bcl", onehot, tblw, precision=jax.lax.Precision.HIGHEST
-        )  # (B, 2, 16); exact: table entries are 16-bit limbs < 2^16 <= f32 exact
+        # TPU f32 matmuls are single-pass bf16 (exact only <= 256): select
+        # the 16-bit limbs via two byte-plane contractions
+        tbl_lo = tblw % 256.0
+        tbl_hi = jnp.floor(tblw / 256.0)
+        sel = (
+            jnp.einsum("bd,dcl->bcl", onehot, tbl_lo)
+            + 256.0 * jnp.einsum("bd,dcl->bcl", onehot, tbl_hi)
+        )  # (B, 2, 16) exact
         px = jnp.transpose(sel[:, 0, :]).astype(jnp.uint32)  # (16, B)
         py = jnp.transpose(sel[:, 1, :]).astype(jnp.uint32)
         nonzero = digit != 0

@@ -64,6 +64,7 @@ def _match_tile(table_f32, accept_f32, start, syms, length):
     """DFA over (T_sym, T) symbols inside the kernel (same matmul scheme as
     pipeline.match_symbols, unrolled over positions -- T_sym is small)."""
     S, W = table_f32.shape
+    assert S <= 256, "bf16 matmul keeps DFA state ids exact only up to 256"
     T = syms.shape[1]
     sids = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
     sids_f = sids.astype(jnp.float32)
@@ -181,15 +182,8 @@ def fused_scan_step(fmt: AddressFormat, batch: int, n_states: int,
     """
     match_fn = fused_match_fn(fmt, batch, n_states, tile)
 
-    def one(bx, by, tx, ty, dfa_f32, accept_f32, start, remaining):
-        dx = field.sub(tx, bx[:, None])
-        dx_safe = u256.select(
-            ~u256.is_zero(dx), dx, u256.constant(1, dx.shape[1:])
-        )
-        C = min(chain_len, batch)
-        inv_dx = field.batch_inverse_chain(
-            dx_safe.reshape(16, C, batch // C)
-        ).reshape(16, batch)
+    def _tail_one(bx, by, tx, ty, inv_dx, dfa_f32, accept_f32, start,
+                  remaining):
         match = match_fn(
             start, remaining, bx, by, tx, ty, inv_dx, dfa_f32, accept_f32
         )[0]
@@ -204,16 +198,37 @@ def fused_scan_step(fmt: AddressFormat, batch: int, n_states: int,
         return jnp.concatenate([count[None], ops[None], top])
 
     def step(bx, by, tx, ty, dfa_f32, accept_f32, start, remaining):
+        # ONE Montgomery inversion spanning all k_sub windows: each
+        # sequential XLA loop step costs ~100us of dispatch overhead, so the
+        # ~400-step chain+ladder must amortize over k_sub*batch keys, not
+        # per window.
+        K = bx.shape[0]
+        bxl = jnp.transpose(bx)  # (16, K)
+        byl = jnp.transpose(by)
+        dx = field.sub(tx[:, None, :], bxl[:, :, None])  # (16, K, batch)
+        dx_flat = dx.reshape(16, K * batch)
+        dx_safe = u256.select(
+            ~u256.is_zero(dx_flat), dx_flat,
+            u256.constant(1, dx_flat.shape[1:])
+        )
+        C = min(chain_len, K * batch)
+        inv_flat = field.batch_inverse_chain(
+            dx_safe.reshape(16, C, K * batch // C)
+        ).reshape(16, K * batch)
+        inv_all = jnp.moveaxis(
+            inv_flat.reshape(16, K, batch), 1, 0
+        )  # (K, 16, batch)
+
         if k_sub == 1:
-            return one(bx[0], by[0], tx, ty, dfa_f32, accept_f32, start,
-                       remaining[0])[None]
+            return _tail_one(bx[0], by[0], tx, ty, inv_all[0], dfa_f32,
+                             accept_f32, start, remaining[0])[None]
 
         def body(_, xs):
-            bxk, byk, remk = xs
-            return None, one(bxk, byk, tx, ty, dfa_f32, accept_f32, start,
-                             remk)
+            bxk, byk, remk, invk = xs
+            return None, _tail_one(bxk, byk, tx, ty, invk, dfa_f32,
+                                   accept_f32, start, remk)
 
-        _, outs = jax.lax.scan(body, None, (bx, by, remaining))
+        _, outs = jax.lax.scan(body, None, (bx, by, remaining, inv_all))
         return outs
 
     return jax.jit(step)

@@ -46,7 +46,12 @@ def match_symbols(dfa_flat, dfa_accept, start: int, width: int, syms, length):
     T = syms.shape[0]
     B = syms.shape[1]
     S = dfa_flat.shape[0] // width
-    table = dfa_flat.reshape(S, width).astype(jnp.float32)  # (S, W)
+    # TPU f32 dots are single-pass bf16: state ids stay exact only up to 256,
+    # so larger automata use two byte-plane dots (see u256.mul_wide)
+    table_i = dfa_flat.reshape(S, width)
+    table = table_i.astype(jnp.float32)
+    table_hi = (table_i // 256).astype(jnp.float32) if S > 256 else None
+    table_lo = (table_i % 256).astype(jnp.float32) if S > 256 else None
     eos = jnp.int32(width - 2)
     pad = jnp.int32(width - 1)
     wids = jnp.arange(width, dtype=jnp.int32)[:, None]  # (W, 1)
@@ -61,10 +66,16 @@ def match_symbols(dfa_flat, dfa_accept, start: int, width: int, syms, length):
         )
         sym = jnp.where(j < length, row, jnp.where(j == length, eos, pad))
         sym1h = (wids == sym[None, :]).astype(jnp.float32)  # (W, B)
-        R = jax.lax.dot(
-            table, sym1h, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (S, B): R[s, b] = T[s, sym_b]; HIGHEST keeps ids exact for S>256
+        if S > 256:
+            R = jax.lax.dot(
+                table_lo, sym1h, preferred_element_type=jnp.float32
+            ) + 256.0 * jax.lax.dot(
+                table_hi, sym1h, preferred_element_type=jnp.float32
+            )
+        else:
+            R = jax.lax.dot(
+                table, sym1h, preferred_element_type=jnp.float32,
+            )  # (S, B): R[s, b] = T[s, sym_b]
         next_id = jnp.sum(state1h * R, axis=0)  # (B,) exact small ints
         return (sids.astype(jnp.float32) == next_id[None, :]).astype(
             jnp.float32

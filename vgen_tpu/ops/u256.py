@@ -14,6 +14,7 @@ limb < 2^16 at function boundaries ("normalized").
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Sequence, Tuple, Union
 
 import jax
@@ -155,6 +156,24 @@ def select(mask, a, b):
     return jnp.where(mask[None, ...], a, b)
 
 
+@lru_cache(maxsize=1)
+def _exact_f32_dots() -> bool:
+    """True when the default backend's f32 matmul is exact f32 (CPU); TPU
+    f32 dots are single-pass bf16 and need byte-plane splitting.  Override
+    with VGEN_TPU_SPLIT_DOTS=0/1."""
+    import os
+
+    env = os.environ.get("VGEN_TPU_SPLIT_DOTS")
+    if env is not None:
+        return env == "0"
+    import jax
+
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _antidiag_matrices(n: int):
     """0/1 selection matrices turning the flattened (n*n) outer product into
     2n anti-diagonal column sums via ONE matmul each.
@@ -189,12 +208,37 @@ def mul_wide(a, b):
     assert n == NLIMBS
     batch_shape = a.shape[1:]
     p = a[:, None] * b[None, :]  # (n, n, *B)
-    lo = u32_to_f32(p & LIMB_MASK).reshape(n * n, -1)
-    hi = u32_to_f32(p >> LIMB_BITS).reshape(n * n, -1)
+    lo = p & LIMB_MASK
+    hi = p >> LIMB_BITS
     S0, S1 = _antidiag_matrices(n)
-    cols = f32_to_u32(
-        jnp.dot(S0, lo, preferred_element_type=jnp.float32)
-        + jnp.dot(S1, hi, preferred_element_type=jnp.float32)
+    if _exact_f32_dots():
+        # CPU (and any true-f32 backend): one dot per half is exact
+        cols = f32_to_u32(
+            jnp.dot(S0, u32_to_f32(lo).reshape(n * n, -1),
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(S1, u32_to_f32(hi).reshape(n * n, -1),
+                      preferred_element_type=jnp.float32)
+        ).reshape((2 * n,) + batch_shape)
+        prod, _ = carry_propagate([cols[k] for k in range(2 * n)], 2 * n)
+        return prod
+    # TPU f32 matmuls are single-pass bf16 (XLA DEFAULT precision and
+    # Mosaic's jnp.dot alike): only integers <= 256 survive exactly.  Split
+    # each 16-bit half into byte planes before the dot; per-plane sums are
+    # < 32*255 < 2^13, exact, then recombine with a shift.
+    ll = u32_to_f32(lo & jnp.uint32(0xFF)).reshape(n * n, -1)
+    lh = u32_to_f32(lo >> 8).reshape(n * n, -1)
+    hl = u32_to_f32(hi & jnp.uint32(0xFF)).reshape(n * n, -1)
+    hh = u32_to_f32(hi >> 8).reshape(n * n, -1)
+    plane0 = (
+        jnp.dot(S0, ll, preferred_element_type=jnp.float32)
+        + jnp.dot(S1, hl, preferred_element_type=jnp.float32)
+    )
+    plane1 = (
+        jnp.dot(S0, lh, preferred_element_type=jnp.float32)
+        + jnp.dot(S1, hh, preferred_element_type=jnp.float32)
+    )
+    cols = (
+        f32_to_u32(plane0) + (f32_to_u32(plane1) << 8)
     ).reshape((2 * n,) + batch_shape)
     prod, _ = carry_propagate([cols[k] for k in range(2 * n)], 2 * n)
     return prod

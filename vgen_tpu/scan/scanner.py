@@ -145,7 +145,8 @@ class DeviceScanner:
         if self.device.platform not in ("cpu",):
             from vgen_tpu.ops import pallas_fused
 
-            if config.format in pallas_fused.FUSED_FORMATS:
+            if (config.format in pallas_fused.FUSED_FORMATS
+                    and accept.shape[0] <= 256):
                 S = accept.shape[0]
                 fused_step = pallas_fused.fused_scan_step(
                     config.format, self.batch, S, self.chain_len,
