@@ -207,12 +207,12 @@ def mul_wide(a, b):
     n = a.shape[0]
     assert n == NLIMBS
     batch_shape = a.shape[1:]
-    p = a[:, None] * b[None, :]  # (n, n, *B)
-    lo = p & LIMB_MASK
-    hi = p >> LIMB_BITS
-    S0, S1 = _antidiag_matrices(n)
     if _exact_f32_dots():
         # CPU (and any true-f32 backend): one dot per half is exact
+        p = a[:, None] * b[None, :]  # (n, n, *B)
+        lo = p & LIMB_MASK
+        hi = p >> LIMB_BITS
+        S0, S1 = _antidiag_matrices(n)
         cols = f32_to_u32(
             jnp.dot(S0, u32_to_f32(lo).reshape(n * n, -1),
                     preferred_element_type=jnp.float32)
@@ -222,31 +222,44 @@ def mul_wide(a, b):
         prod, _ = carry_propagate([cols[k] for k in range(2 * n)], 2 * n)
         return prod
     # TPU f32 matmuls are single-pass bf16 (XLA DEFAULT precision and
-    # Mosaic's jnp.dot alike): only integers <= 256 survive exactly.  Split
-    # each 16-bit half into byte planes before the dot; per-plane sums are
-    # < 32*255 < 2^13, exact, then recombine with a shift.
-    ll = u32_to_f32(lo & jnp.uint32(0xFF)).reshape(n * n, -1)
-    lh = u32_to_f32(lo >> 8).reshape(n * n, -1)
-    hl = u32_to_f32(hi & jnp.uint32(0xFF)).reshape(n * n, -1)
-    hh = u32_to_f32(hi >> 8).reshape(n * n, -1)
-    plane0 = (
-        jnp.dot(S0, ll, preferred_element_type=jnp.float32)
-        + jnp.dot(S1, hl, preferred_element_type=jnp.float32)
-    )
-    plane1 = (
-        jnp.dot(S0, lh, preferred_element_type=jnp.float32)
-        + jnp.dot(S1, hh, preferred_element_type=jnp.float32)
-    )
-    cols = (
-        f32_to_u32(plane0) + (f32_to_u32(plane1) << 8)
-    ).reshape((2 * n,) + batch_shape)
-    prod, _ = carry_propagate([cols[k] for k in range(2 * n)], 2 * n)
+    # Mosaic's jnp.dot alike): only integers <= 256 survive exactly, so a
+    # dot formulation needs FOUR byte planes -- 4x (256, W) f32 of HBM
+    # traffic per multiply, which makes the whole inversion stage
+    # bandwidth-bound.  Instead: limb-row schoolbook, exact in u32 by
+    # construction -- 16 iterations of whole-(16,*B)-array multiply/mask/
+    # shift-add, accumulated into 32 columns via statically shifted
+    # concatenations.  ~100 traced ops per multiply (a fully scalar-row
+    # unroll at ~770 ops/mul makes large jitted modules big enough to OOM
+    # the TPU compiler), all VPU, no HBM-streamed matmul planes.
+    batch = tuple(a.shape[1:])
+    zrow = jnp.zeros((1,) + batch, dtype=jnp.uint32)
+
+    def shifted(rows, k):
+        """rows (m,*B) placed at column offset k within 2n columns."""
+        m = rows.shape[0]
+        parts = []
+        if k:
+            parts.append(jnp.broadcast_to(zrow, (k,) + batch))
+        parts.append(rows)
+        if 2 * n - m - k:
+            parts.append(
+                jnp.broadcast_to(zrow, (2 * n - m - k,) + batch)
+            )
+        return jnp.concatenate(parts, axis=0)
+
+    acc = None
+    for j in range(n):
+        q = a * b[j][None]  # (n, *B): one vector multiply per source limb
+        contrib = shifted(q & LIMB_MASK, j) + shifted(q >> LIMB_BITS, j + 1)
+        acc = contrib if acc is None else acc + contrib
+    # each column: <= 16 lo-halves + 16 hi-halves, all < 2^16 -> < 2^21
+    prod, _ = carry_propagate([acc[k] for k in range(2 * n)], 2 * n)
     return prod
 
 
 def square_wide(a):
-    """a*a -> (32,*B) (same path as mul_wide; the symmetry trick only pays
-    inside hand-scheduled kernels)."""
+    """a*a -> (32,*B) (same path as mul_wide; the symmetry trick trades
+    fewer multiplies for more traced ops, a bad deal for compile size)."""
     return mul_wide(a, a)
 
 
