@@ -30,6 +30,8 @@ def main():
     batch = int(os.environ.get("VGEN_BENCH_BATCH", 262_144))
     seconds = float(os.environ.get("VGEN_BENCH_SECONDS", 10))
     pattern = os.environ.get("VGEN_BENCH_PATTERN", "^1C")
+    chain = int(os.environ.get("VGEN_BENCH_CHAIN", 256))
+    k_sub = int(os.environ.get("VGEN_BENCH_KSUB", 8))
 
     from vgen_tpu.crypto.address import AddressFormat
     from vgen_tpu.scan.scanner import benchmark_device
@@ -40,6 +42,8 @@ def main():
         pattern_str=pattern,
         batch_size=batch,
         min_seconds=seconds,
+        chain_len=chain,
+        k_sub=k_sub,
     )
     rate = stats["keys_per_sec"]
     print(

@@ -1,0 +1,123 @@
+"""Native C++ CPU scanner: conformance against the Python oracle.
+
+Mirrors the reference's implicit GPU-correctness strategy (SURVEY.md §4):
+every native result is checked against an independent implementation."""
+
+import secrets
+
+import pytest
+
+from vgen_tpu import native
+from vgen_tpu.crypto.address import AddressFormat, AddressGenerator
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason=f"native build failed: {native.build_error()}"
+)
+
+ALL_FORMATS = [
+    "p2pkh", "p2pkh-uncompressed", "p2wpkh", "p2sh-p2wpkh", "p2tr", "ethereum"
+]
+
+
+@pytest.mark.parametrize("fmt", ALL_FORMATS)
+def test_native_derivation_matches_oracle(fmt):
+    gen = AddressGenerator(AddressFormat(fmt))
+    for _ in range(10):
+        k = secrets.randbelow(2**256 - 2**33) + 1
+        expected = gen.generate(k.to_bytes(32, "big")).address
+        assert native.derive_address(k, fmt) == expected
+
+
+def test_native_derivation_key1():
+    # the canonical key-1 known-answer vector (reference address.rs tests)
+    assert (
+        native.derive_address(1, "p2pkh")
+        == "1BgGZ9tcN4rm9KBzDn7KprQz87SZ26SAMH"
+    )
+    assert (
+        native.derive_address(1, "p2wpkh")
+        == "bc1qw508d6qejxtdg4y5r3zarvary0c5xw7kv8f3t4"
+    )
+    assert (
+        native.derive_address(1, "ethereum")
+        == "0x7E5F4552091A69125d5DfCb7b8C2659029395Bdf"
+    )
+
+
+def test_native_scan_window_exact():
+    from vgen_tpu.pattern.redfa import compile_dfa
+
+    sc = native.NativeScanner(batch=256)
+    dfa = compile_dfa("^1C")
+    gen = AddressGenerator(AddressFormat.P2PKH)
+    start, count = 0xDEAD0000, 1024
+    expected = [
+        start + i
+        for i in range(count)
+        if gen.generate((start + i).to_bytes(32, "big")).address.startswith(
+            "1C"
+        )
+    ]
+    keys, ops = sc.scan(start, count, "p2pkh", dfa, n_threads=2)
+    assert ops == count
+    assert keys == expected
+
+
+def test_native_scan_case_insensitive():
+    from vgen_tpu.pattern.redfa import compile_dfa
+
+    sc = native.NativeScanner(batch=256)
+    dfa = compile_dfa("^1c", ignore_case=True)
+    gen = AddressGenerator(AddressFormat.P2PKH)
+    start, count = 0xBEEF0000, 512
+    expected = [
+        start + i
+        for i in range(count)
+        if gen.generate((start + i).to_bytes(32, "big"))
+        .address.lower()
+        .startswith("1c")
+    ]
+    keys, _ = sc.scan(start, count, "p2pkh", dfa, n_threads=1)
+    assert keys == expected
+
+
+def test_native_cpu_scanner_integration():
+    from vgen_tpu.pattern import Pattern
+    from vgen_tpu.scan.scanner import ScanConfig, scan_with_progress
+
+    cfg = ScanConfig(
+        format=AddressFormat.P2PKH,
+        count=2,
+        use_device=False,
+        start=0x100,
+        end=0x2000,
+    )
+    res = scan_with_progress(Pattern("^1B"), cfg)
+    assert len(res.matches) == 2
+    assert all(m.address.startswith("1B") for m in res.matches)
+    # deterministic: lowest matching keys in the range
+    ks = [int(m.hex, 16) for m in res.matches]
+    assert ks == sorted(ks)
+
+
+def test_native_stop_flag():
+    import threading
+    import time
+
+    from vgen_tpu.pattern import Pattern
+    from vgen_tpu.scan.scanner import ScanConfig, StopFlag, scan_with_progress
+
+    stop = StopFlag()
+    cfg = ScanConfig(
+        format=AddressFormat.P2PKH, count=1, use_device=False,
+        cpu_batch_size=65536,
+    )
+    timer = threading.Timer(0.5, stop.set)
+    timer.start()
+    t0 = time.time()
+    res = scan_with_progress(
+        Pattern("^1NeverEverMatchesAnything"), cfg, None, stop
+    )
+    assert time.time() - t0 < 10
+    assert res.matches == []
+    timer.cancel()

@@ -99,6 +99,11 @@ class Pattern:
     def matches(self, address: str) -> bool:
         return self._dfa.matches_text(address)
 
+    @property
+    def char_dfa(self) -> DFA:
+        """The byte-level DFA (used by the native CPU scanner)."""
+        return self._dfa
+
     # -- device projection -------------------------------------------------
 
     @lru_cache(maxsize=None)

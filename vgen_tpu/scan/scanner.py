@@ -292,6 +292,98 @@ def _scan_cpu(
     progress_callback: Optional[ProgressCallback],
     stop_flag: Optional[StopFlag],
 ) -> ScanResult:
+    from vgen_tpu import native
+
+    if native.available():
+        return _scan_cpu_native(
+            pattern, config, progress_callback, stop_flag
+        )
+    return _scan_cpu_python(pattern, config, progress_callback, stop_flag)
+
+
+def _scan_cpu_native(
+    pattern: Pattern,
+    config: ScanConfig,
+    progress_callback: Optional[ProgressCallback],
+    stop_flag: Optional[StopFlag],
+) -> ScanResult:
+    """C++ scanner path (vgen_tpu/native): the counterpart of the
+    reference's rayon CPU scan (scanner.rs:76-330), ~1M+ keys/s."""
+    import ctypes
+    import secrets as _secrets
+
+    from vgen_tpu import native
+
+    t0 = time.time()
+    gen = AddressGenerator(config.format)
+    matches: List[GeneratedAddress] = []
+    ops = 0
+    stop = stop_flag or StopFlag()
+    target = config.count if config.count > 0 else float("inf")
+    chunk = max(config.cpu_batch_size or 262_144, 4096)
+    scanner = native.NativeScanner(batch=1024)
+    dfa = pattern.char_dfa
+    n_threads = config.threads or 0
+    stop_buf = (ctypes.c_int * 1)(0)
+    done = threading.Event()
+
+    def _watch():  # propagate StopFlag into the C++ scan mid-call
+        while not done.is_set():
+            if stop.is_set():
+                stop_buf[0] = 1
+                return
+            time.sleep(0.05)
+
+    watcher = threading.Thread(target=_watch, daemon=True)
+    watcher.start()
+
+    is_range = config.start is not None
+    if is_range:
+        key = max(config.start, 1)
+        end_key = min(
+            config.end if config.end is not None else ec.N - 1, ec.N - 1
+        )
+    else:
+        key = None
+        end_key = None
+
+    while not stop.is_set() and len(matches) < target:
+        if is_range:
+            if key > end_key:
+                break
+            start = key
+            n = min(chunk, end_key - key + 1)
+            key += n
+        else:
+            start = 2 + _secrets.randbelow(ec.N - chunk - 3)
+            n = chunk
+        found, n_ops = scanner.scan(
+            start, n, config.format.value, dfa,
+            n_threads=n_threads, max_matches=256, stop_buf=stop_buf,
+        )
+        ops += n_ops
+        for k in found:
+            if len(matches) >= target:
+                break
+            ga = gen.generate(k.to_bytes(32, "big"))
+            # host-oracle re-derivation doubles as a native-code check
+            if ga is not None and pattern.matches(ga.address):
+                matches.append(ga)
+        if progress_callback:
+            progress_callback(ops)
+
+    done.set()
+    return ScanResult(
+        matches=matches, operations=ops, elapsed_secs=time.time() - t0
+    )
+
+
+def _scan_cpu_python(
+    pattern: Pattern,
+    config: ScanConfig,
+    progress_callback: Optional[ProgressCallback],
+    stop_flag: Optional[StopFlag],
+) -> ScanResult:
     t0 = time.time()
     gen = AddressGenerator(config.format)
     matches: List[GeneratedAddress] = []
@@ -381,11 +473,13 @@ def benchmark_device(
     batch_size: int = DEFAULT_DEVICE_BATCH,
     min_seconds: float = 5.0,
     warmup_batches: int = 2,
+    chain_len: int = CHAIN_LEN,
+    k_sub: int = 8,
 ) -> dict:
     """Timed device scan (compile excluded) -> keys/s metrics dict."""
     pat = Pattern(pattern_str)
     cfg = ScanConfig(format=fmt, count=10**9, device_batch_size=batch_size)
-    scanner = DeviceScanner(fmt, batch_size)
+    scanner = DeviceScanner(fmt, batch_size, chain_len=chain_len, k_sub=k_sub)
 
     # warmup (compile + table upload)
     stop = StopFlag()
