@@ -418,7 +418,12 @@ def cmd_estimate(args) -> int:
     print(f"Case insensitive: {str(args.ignore_case).lower()}")
     print()
     print(f"Estimated difficulty: 1 in {format_with_commas(difficulty)}")
-    print(f"Benchmark rate: {rate:.0f} addr/sec (CPU single thread)")
+    from vgen_tpu import native as _native
+
+    rate_src = "native CPU scanner" if _native.available() else (
+        "CPU single thread"
+    )
+    print(f"Benchmark rate: {rate:.0f} addr/sec ({rate_src})")
     print(f"Expected time: {format_duration(expected)} (CPU)")
     print(
         "Note: the TPU scan path is typically orders of magnitude faster; "

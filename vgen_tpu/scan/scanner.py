@@ -457,8 +457,24 @@ def scan(pattern: Pattern, config: ScanConfig) -> ScanResult:
 
 
 def benchmark(fmt: AddressFormat, iterations: int = 10_000) -> float:
-    """CPU single-thread keygen rate (estimate-mode calibration; the device
-    rate comes from benchmark_device)."""
+    """CPU scan-rate calibration for `estimate` (parity: scanner.rs:333-346,
+    which times the actual scan hot loop).  Uses the native scanner's real
+    multi-threaded rate when available; falls back to the pure-Python
+    oracle rate."""
+    from vgen_tpu import native
+
+    if native.available():
+        from vgen_tpu.pattern.redfa import compile_dfa
+
+        sc = native.NativeScanner(batch=1024)
+        dfa = compile_dfa("^1NeverMatchesBenchmark")
+        n = max(iterations, 50_000)
+        start = 2 + secrets.randbelow(ec.N - n - 3)
+        t0 = time.time()
+        _, ops = sc.scan(start, n, fmt.value, dfa)
+        dt = time.time() - t0
+        if dt > 0 and ops:
+            return ops / dt
     gen = AddressGenerator(fmt)
     rng = secrets.SystemRandom()
     t0 = time.time()
