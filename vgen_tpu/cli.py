@@ -98,6 +98,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Puzzle number (sets range to [2^(n-1), 2^n-1])")
     r.add_argument("-c", "--count", type=int, default=1,
                    help="Stop after N matches (0 = scan entire range)")
+    r.add_argument("--checkpoint", default=None, metavar="FILE",
+                   help="Persist scan position to FILE and resume from it "
+                   "(survives interruption; new in the TPU build)")
 
     v = sub.add_parser("verify", help="Verify a private key produces expected address")
     v.add_argument("-k", "--key", required=True, help="Private key (WIF or hex)")
@@ -231,6 +234,7 @@ def run_search(
     output: str,
     file: Optional[str],
     repeat: int,
+    checkpoint_path: Optional[str] = None,
 ) -> int:
     from vgen_tpu.scan import scanner as sc
 
@@ -239,6 +243,28 @@ def run_search(
     except RegexError as e:
         print(f"error: failed to compile pattern: {e}", file=sys.stderr)
         return 2
+
+    ckpt_mgr = None
+    if checkpoint_path and start is not None:
+        from vgen_tpu.crypto.secp256k1 import N as _EC_N
+        from vgen_tpu.scan.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(
+            checkpoint_path,
+            pattern=pattern_str,
+            fmt=fmt.value,
+            start=start,
+            end=end if end is not None else _EC_N - 1,
+        )
+        state = ckpt_mgr.load()
+        if state is not None and not quiet:
+            print(
+                f"Resuming from checkpoint: next key "
+                f"{hex(state['next_key'])}, "
+                f"{format_with_commas(state['operations'])} ops, "
+                f"{len(state['match_keys'])} match(es)",
+                file=sys.stderr,
+            )
 
     invalid = pat.validate_charset(fmt)
     if invalid:
@@ -269,6 +295,7 @@ def run_search(
         start=start,
         end=end,
         use_device=use_device,
+        checkpoint=ckpt_mgr,
     )
 
     stop = sc.StopFlag()
@@ -444,7 +471,7 @@ def cmd_range(args) -> int:
     return run_search(
         resolved, False, fmt, count, use_device, args.device_batch_size,
         None, args.threads, start, end, use_tui, False, args.output,
-        args.file, args.repeat,
+        args.file, args.repeat, checkpoint_path=args.checkpoint,
     )
 
 

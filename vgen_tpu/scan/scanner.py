@@ -45,6 +45,7 @@ class ScanConfig:
     use_device: bool = True
     in_flight: int = 4  # pipelined batches (generalizes the reference's 2
     # double-buffered Frames; deeper here to hide device-tunnel RTT)
+    checkpoint: Optional[object] = None  # scan.checkpoint.CheckpointManager
 
 
 @dataclass
@@ -158,10 +159,23 @@ class DeviceScanner:
                 acc_f32 = jnp.asarray(accept.astype(np.float32).reshape(S, 1))
 
         is_range = config.start is not None
+        ckpt = config.checkpoint if is_range else None
+        resume_ops = 0
+        resume_matches: List[GeneratedAddress] = []
         if is_range:
             next_key = max(config.start or 1, 1)
             end_key = config.end if config.end is not None else ec.N - 1
             end_key = min(end_key, ec.N - 1)
+            if ckpt is not None:
+                state = ckpt.load()
+                if state is not None:
+                    next_key = max(next_key, state["next_key"])
+                    resume_ops = state["operations"]
+                    _gen = AddressGenerator(config.format)
+                    for k in state["match_keys"]:
+                        ga = _gen.generate(k.to_bytes(32, "big"))
+                        if ga is not None:
+                            resume_matches.append(ga)
         else:
             # random start, then sequential (the reference GPU scan does the
             # same: one random start per run, gpu.rs:936-945)
@@ -170,8 +184,8 @@ class DeviceScanner:
 
         t0 = time.time()
         gen = AddressGenerator(config.format)
-        matches: List[GeneratedAddress] = []
-        total_ops = 0
+        matches: List[GeneratedAddress] = list(resume_matches)
+        total_ops = resume_ops
         inflight = deque()
         stop = stop_flag or StopFlag()
         target = config.count if config.count > 0 else float("inf")
@@ -256,6 +270,13 @@ class DeviceScanner:
                         # crate, SURVEY.md §4)
                         if ga is not None and pattern.matches(ga.address):
                             matches.append(ga)
+            if ckpt is not None:
+                # keys below the end of this drained window are now complete
+                done_end = base_scalars[-1] + self.batch
+                ckpt.advance(
+                    min(done_end + 1, end_key + 1), total_ops,
+                    [int(m.hex, 16) for m in matches],
+                )
             if progress_callback:
                 progress_callback(total_ops)
 
@@ -274,6 +295,8 @@ class DeviceScanner:
         while inflight and len(matches) < target:
             drain_one()
 
+        if ckpt is not None:
+            ckpt.finalize()
         return ScanResult(
             matches=matches[: config.count if config.count > 0 else None],
             operations=total_ops,
@@ -338,11 +361,21 @@ def _scan_cpu_native(
     watcher.start()
 
     is_range = config.start is not None
+    ckpt = config.checkpoint if is_range else None
     if is_range:
         key = max(config.start, 1)
         end_key = min(
             config.end if config.end is not None else ec.N - 1, ec.N - 1
         )
+        if ckpt is not None:
+            state = ckpt.load()
+            if state is not None:
+                key = max(key, state["next_key"])
+                ops = state["operations"]
+                for k in state["match_keys"]:
+                    ga = gen.generate(k.to_bytes(32, "big"))
+                    if ga is not None:
+                        matches.append(ga)
     else:
         key = None
         end_key = None
@@ -359,7 +392,7 @@ def _scan_cpu_native(
             n = chunk
         found, n_ops = scanner.scan(
             start, n, config.format.value, dfa,
-            n_threads=n_threads, max_matches=256, stop_buf=stop_buf,
+            n_threads=n_threads, max_matches=n, stop_buf=stop_buf,
         )
         ops += n_ops
         for k in found:
@@ -369,10 +402,15 @@ def _scan_cpu_native(
             # host-oracle re-derivation doubles as a native-code check
             if ga is not None and pattern.matches(ga.address):
                 matches.append(ga)
+        if ckpt is not None and n_ops == n:
+            # a stopped chunk is partially scanned -- don't advance past it
+            ckpt.advance(start + n, ops, [int(m.hex, 16) for m in matches])
         if progress_callback:
             progress_callback(ops)
 
     done.set()
+    if ckpt is not None:
+        ckpt.finalize()
     return ScanResult(
         matches=matches, operations=ops, elapsed_secs=time.time() - t0
     )
