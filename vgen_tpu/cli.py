@@ -311,8 +311,8 @@ def run_search(
             use_tui = False
             result = None
         if use_tui and result is not None:
-            if file is None and output == "text":
-                return 0  # TUI already displayed results
+            # parity: the reference always writes results through the output
+            # writers after the TUI's alternate screen closes (lib.rs:766+)
             results = _to_vanity_results(result, pattern_str, fmt)
             _emit(results, output, file, quiet, result)
             return 0

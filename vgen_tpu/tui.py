@@ -178,8 +178,7 @@ def run_tui(pattern, config, stop_flag):
                     break
                 # wait for the worker to notice, keep drawing
             if snap_done and (stop_flag.is_set() or not thread.is_alive()):
-                if stop_flag.is_set() or snap_matches or True:
-                    break
+                break
             time.sleep(0.1)
 
     curses.wrapper(ui)
