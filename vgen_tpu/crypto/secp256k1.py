@@ -94,6 +94,24 @@ def pubkey_point(secret: int) -> Point:
     return scalar_mult(secret, G)
 
 
+def scalar_mult_base_fast(k: int) -> Point:
+    """k*G through the native C++ code when available (~10us vs ~30ms for
+    the Python ladder).  The scan loops need one base point per dispatched
+    window; with pure Python this dominated whole-scan throughput.  The
+    pure-Python scalar_mult above remains the conformance oracle."""
+    k %= N
+    if k == 0:
+        return None
+    try:
+        from vgen_tpu import native
+
+        if native.available():
+            return native.pubkey_point(k)
+    except Exception:  # pragma: no cover - fall back to the oracle
+        pass
+    return scalar_mult(k)
+
+
 def serialize_compressed(pt: Point) -> bytes:
     if pt is None:
         raise ValueError("cannot serialize point at infinity")

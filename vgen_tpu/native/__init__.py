@@ -109,6 +109,8 @@ def get_lib():
         lib.vgen_derive_address.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int
         ]
+        lib.vgen_pubkey.restype = None
+        lib.vgen_pubkey.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
         _lib = lib
         return _lib
 
@@ -183,6 +185,20 @@ class NativeScanner:
         )
         keys = sorted(start_key + int(out[i]) for i in range(n))
         return keys, int(ops.value)
+
+
+def pubkey_point(key: int) -> Optional[Tuple[int, int]]:
+    """k*G via the native code (~10us vs ~30ms for the pure-Python ladder).
+
+    Used by the device scan loop, which needs one base point per dispatched
+    window -- with pure Python this dominated the whole scan."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(64)
+    lib.vgen_pubkey(key.to_bytes(32, "big"), buf)
+    raw = buf.raw
+    return int.from_bytes(raw[:32], "big"), int.from_bytes(raw[32:], "big")
 
 
 def derive_address(key: int, fmt_value: str) -> Optional[str]:

@@ -135,7 +135,7 @@ class MeshScanner:
 
         xs, ys = [], []
         for s in base_scalars:
-            pt = ec.scalar_mult(s)
+            pt = ec.scalar_mult_base_fast(s)
             xs.append(pt[0])
             ys.append(pt[1])
         bx = jax.device_put(jnp.asarray(_ints_to_limbs(xs)), self._sharding_d)

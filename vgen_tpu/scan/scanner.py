@@ -115,7 +115,7 @@ class DeviceScanner:
 
         from vgen_tpu.scan.tables import _ints_to_limbs
 
-        pt = ec.scalar_mult(scalar)
+        pt = ec.scalar_mult_base_fast(scalar)
         assert pt is not None
         bx = jnp.asarray(_ints_to_limbs([pt[0]])[0])
         by = jnp.asarray(_ints_to_limbs([pt[1]])[0])
@@ -219,7 +219,7 @@ class DeviceScanner:
             if fused_step is not None:
                 from vgen_tpu.scan.tables import _ints_to_limbs
 
-                pts = [ec.scalar_mult(s) for s in base_scalars]
+                pts = [ec.scalar_mult_base_fast(s) for s in base_scalars]
                 bx = jnp.asarray(_ints_to_limbs([p[0] for p in pts]))
                 by = jnp.asarray(_ints_to_limbs([p[1] for p in pts]))
                 packed = fused_step(
