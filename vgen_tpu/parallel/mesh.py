@@ -238,7 +238,9 @@ class MeshScanner:
                         if len(matches) >= target:
                             break
                         key = base_scalar + d * self.batch + 1 + idx
-                        ga = gen.generate(key.to_bytes(32, "big"))
+                        from vgen_tpu.scan.scanner import _derive_checked
+
+                        ga = _derive_checked(key, self.fmt, gen)
                         if ga is not None and pattern.matches(ga.address):
                             matches.append(ga)
             if progress_callback:

@@ -33,6 +33,37 @@ CHAIN_LEN = 256
 ProgressCallback = Callable[[int], None]
 
 
+def _derive_checked(key: int, fmt: AddressFormat,
+                    gen: AddressGenerator) -> Optional[GeneratedAddress]:
+    """Full derivation for one candidate key, fast path.
+
+    Device-reported indices are re-derived on the host as an independent
+    correctness gate.  The pure-Python oracle costs ~1-3ms per key, which
+    dominated scans of easy patterns (every TOP_K slot filled each
+    super-step); the native C++ derivation is ~20us and is still an
+    independent implementation.  WIF/hex come from cheap non-EC encoding.
+    """
+    from vgen_tpu import native
+
+    if not 1 <= key < ec.N:
+        return None
+    if native.available():
+        addr = native.derive_address(key, fmt.value)
+        if addr is not None:
+            from vgen_tpu.crypto.encode import wif_encode
+
+            secret = key.to_bytes(32, "big")
+            hexkey = secret.hex()
+            if fmt == AddressFormat.ETHEREUM:
+                wif = hexkey
+            elif fmt == AddressFormat.P2PKH_UNCOMPRESSED:
+                wif = wif_encode(secret, False)
+            else:
+                wif = wif_encode(secret, True)
+            return GeneratedAddress(addr, wif, hexkey, fmt)
+    return gen.generate(key.to_bytes(32, "big"))
+
+
 @dataclass
 class ScanConfig:
     format: AddressFormat = AddressFormat.P2PKH
@@ -173,7 +204,7 @@ class DeviceScanner:
                     resume_ops = state["operations"]
                     _gen = AddressGenerator(config.format)
                     for k in state["match_keys"]:
-                        ga = _gen.generate(k.to_bytes(32, "big"))
+                        ga = _derive_checked(k, config.format, _gen)
                         if ga is not None:
                             resume_matches.append(ga)
         else:
@@ -262,8 +293,7 @@ class DeviceScanner:
                         if len(matches) >= target:
                             break
                         key = base_scalar + 1 + idx
-                        secret = key.to_bytes(32, "big")
-                        ga = gen.generate(secret)
+                        ga = _derive_checked(key, config.format, gen)
                         # host-side re-derivation doubles as a device-
                         # correctness check (the reference gets the same
                         # property by encoding GPU hashes with an independent
@@ -373,7 +403,7 @@ def _scan_cpu_native(
                 key = max(key, state["next_key"])
                 ops = state["operations"]
                 for k in state["match_keys"]:
-                    ga = gen.generate(k.to_bytes(32, "big"))
+                    ga = _derive_checked(k, config.format, gen)
                     if ga is not None:
                         matches.append(ga)
     else:
@@ -398,8 +428,7 @@ def _scan_cpu_native(
         for k in found:
             if len(matches) >= target:
                 break
-            ga = gen.generate(k.to_bytes(32, "big"))
-            # host-oracle re-derivation doubles as a native-code check
+            ga = _derive_checked(k, config.format, gen)
             if ga is not None and pattern.matches(ga.address):
                 matches.append(ga)
         if ckpt is not None and n_ops == n:
