@@ -82,6 +82,54 @@ def run_validation(batch: int = 262144, tile: int = 512) -> bool:
               f"(count {packed[0]} vs {len(expect_small)})")
         ok = ok and oracle_ok
 
+    # Interval (anchored-prefix) fast path vs the same oracle window.
+    # Device hits may over-approximate by the checksum widening (< 2^-32
+    # probability), so require: oracle set ⊆ device set AND every device hit
+    # re-derives to a pattern match or falls in a compiled interval.
+    for fmt, pattern in [
+        (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.P2WPKH, "^bc1qq"),
+        (AddressFormat.P2SH_P2WPKH, "^3J"),
+    ]:
+        gen = AddressGenerator(fmt)
+        pat = Pattern(pattern)
+        ivs = pat.match_intervals(fmt)
+        assert ivs, (fmt, pattern)
+        expect_small = sorted(
+            i
+            for i in range(n_oracle)
+            if pat.matches(
+                gen.generate(
+                    (base_oracle + 1 + i).to_bytes(32, "big")
+                ).address
+            )
+        )
+        lo_np, hi_np = pallas_fused.intervals_to_words(ivs)
+        base = ec.scalar_mult(base_oracle)
+        bx1 = jnp.asarray(_ints_to_limbs([base[0]]))
+        by1 = jnp.asarray(_ints_to_limbs([base[1]]))
+        rstep = pallas_fused.fused_range_scan_step(fmt, batch, 256, tile, 1)
+        packed = np.asarray(
+            rstep(
+                bx1, by1, tx, ty,
+                jnp.asarray(lo_np), jnp.asarray(hi_np),
+                jnp.full((1,), n_oracle, jnp.int32),
+            )
+        )[0]
+        got = sorted(int(i) for i in packed[2:] if i >= 0)
+        extra = [
+            i for i in got
+            if not pat.matches(
+                gen.generate((base_oracle + 1 + i).to_bytes(32, "big")).address
+            )
+        ]
+        missing = [i for i in expect_small[-16:] if i not in got]
+        range_ok = not missing and not extra
+        print(f"{fmt.value}: interval window match = {range_ok} "
+              f"(count {packed[0]} vs {len(expect_small)}, "
+              f"missing={missing}, spurious={extra})")
+        ok = ok and range_ok
+
     for fmt, pattern in [
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "^bc1qq"),

@@ -148,3 +148,30 @@ def test_scalar_mul_windowed():
     for i, k in enumerate(ks):
         expect = ec.scalar_mult(k)
         assert (u256.to_int(ax)[i], u256.to_int(ay)[i]) == expect, hex(k)
+
+
+def test_glv_endomorphism_constants():
+    # BETA is a primitive cube root of 1 in F_p, LAMBDA in Z_n, and the
+    # endomorphism law phi(x, y) = (BETA*x, y) == LAMBDA*(x, y) holds.
+    assert pow(ec.BETA, 3, ec.P) == 1 and ec.BETA != 1
+    assert pow(ec.LAMBDA, 3, ec.N) == 1 and ec.LAMBDA != 1
+    assert ec.BETA2 == pow(ec.BETA, 2, ec.P)
+    assert ec.LAMBDA2 == pow(ec.LAMBDA, 2, ec.N)
+    for k in (1, 2, rng.randrange(1, ec.N)):
+        x, y = ec.scalar_mult(k)
+        lx, ly = ec.scalar_mult(ec.LAMBDA * k % ec.N)
+        assert (lx, ly) == (ec.BETA * x % ec.P, y)
+        l2x, l2y = ec.scalar_mult(ec.LAMBDA2 * k % ec.N)
+        assert (l2x, l2y) == (ec.BETA2 * x % ec.P, y)
+
+
+def test_glv_variant_keys():
+    k = rng.randrange(1, ec.N)
+    x, _ = ec.scalar_mult(k)
+    variants = ec.glv_variant_keys(k)
+    assert len(variants) == 6
+    xs = {ec.scalar_mult(v)[0] for v in variants}
+    assert xs == {x, ec.BETA * x % ec.P, ec.BETA2 * x % ec.P}
+    # negation pairs share x; ordering is (v, -v) per lambda power
+    for i in range(3):
+        assert (variants[2 * i] + variants[2 * i + 1]) % ec.N == 0

@@ -21,6 +21,29 @@ GX = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
 GY = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
 B = 7
 
+# GLV endomorphism: phi(x, y) = (BETA*x, y) equals scalar mult by LAMBDA
+# (BETA^3 = 1 mod p, LAMBDA^3 = 1 mod n; verified in tests/test_curve.py).
+# Used to derive 6 candidate keys {±k, ±λk, ±λ²k} per computed point in the
+# device scan -- amortizing the EC add + inversion the way VanitySearch does.
+BETA = 0x7AE96A2B657C07106E64479EAC3434E99CF0497512F58995C1396C28719501EE
+LAMBDA = 0x5363AD4CC05C30E0A5261C028812645A122E22EA20816678DF02967C1B23BD72
+BETA2 = BETA * BETA % P
+LAMBDA2 = LAMBDA * LAMBDA % N
+
+
+def glv_variant_keys(k: int) -> List[int]:
+    """The 6 private keys whose points share {x, BETA*x, BETA2*x} with k*G.
+
+    Variant index = 2*v + neg for v in (1, LAMBDA, LAMBDA2) powers and neg
+    in (+, -); device GLV match masks must report variants in this order."""
+    out = []
+    for lam in (1, LAMBDA, LAMBDA2):
+        kk = lam * k % N
+        out.append(kk)
+        out.append((N - kk) % N)
+    return out
+
+
 # Affine point: (x, y) tuple of ints, or None for the point at infinity.
 Point = Optional[Tuple[int, int]]
 

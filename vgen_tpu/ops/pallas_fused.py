@@ -165,46 +165,31 @@ def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
     return fn
 
 
-@functools.lru_cache(maxsize=16)
-def fused_scan_step(fmt: AddressFormat, batch: int, n_states: int,
-                    chain_len: int = 256, tile: int = DEFAULT_TILE,
-                    k_sub: int = 1):
-    """Full jitted step: XLA inversion + fused Pallas tail + top-K extract.
+def _pack_tail(match, remaining, batch):
+    """(batch,) 0/1 match vector -> packed [count, ops, top-K indices]."""
+    idx = jnp.arange(batch, dtype=jnp.int32)
+    matched = match > 0
+    count = jnp.sum(match)
+    scores = jnp.where(matched, idx, jnp.int32(-1))
+    top, _ = jax.lax.top_k(scores, pipeline.TOP_K)
+    ops = jnp.minimum(jnp.maximum(remaining, jnp.int32(0)), jnp.int32(batch))
+    return jnp.concatenate([count[None], ops[None], top])
 
-    With k_sub > 1 the step scans k_sub consecutive key windows (one base
-    point each, same replicated table) in ONE dispatch, returning a packed
-    (k_sub, 18) int32 result [[count, ops, idx0..idx15], ...].  Host<->device
-    round trips through the device tunnel cost ~27 ms each, so results for
-    k_sub * batch keys ship as a single transfer.
 
-    (bx (K,16), by (K,16), tx, ty, dfa_f32, accept_f32, start,
-     remaining (K,)) -> (K, 18) int32
+def _build_step(tail_one, batch: int, chain_len: int, k_sub: int):
+    """Shared step scaffold: ONE Montgomery inversion spanning all k_sub
+    windows (each sequential XLA loop step costs ~100us of dispatch
+    overhead, so the ~400-step chain+ladder must amortize over k_sub*batch
+    keys, not per window), then the per-window Pallas tail.
+
+    tail_one(bx (16,), by (16,), tx, ty, inv_dx, remaining, *margs) ->
+    (18,) packed.  Returns jitted step(bx (K,16), by (K,16), tx, ty,
+    remaining (K,), *margs) -> (K, 18) int32.
     """
-    match_fn = fused_match_fn(fmt, batch, n_states, tile)
 
-    def _tail_one(bx, by, tx, ty, inv_dx, dfa_f32, accept_f32, start,
-                  remaining):
-        match = match_fn(
-            start, remaining, bx, by, tx, ty, inv_dx, dfa_f32, accept_f32
-        )[0]
-        idx = jnp.arange(batch, dtype=jnp.int32)
-        matched = match > 0
-        count = jnp.sum(match)
-        scores = jnp.where(matched, idx, jnp.int32(-1))
-        top, _ = jax.lax.top_k(scores, pipeline.TOP_K)
-        ops = jnp.minimum(
-            jnp.maximum(remaining, jnp.int32(0)), jnp.int32(batch)
-        )
-        return jnp.concatenate([count[None], ops[None], top])
-
-    def step(bx, by, tx, ty, dfa_f32, accept_f32, start, remaining):
-        # ONE Montgomery inversion spanning all k_sub windows: each
-        # sequential XLA loop step costs ~100us of dispatch overhead, so the
-        # ~400-step chain+ladder must amortize over k_sub*batch keys, not
-        # per window.
+    def step(bx, by, tx, ty, remaining, *margs):
         K = bx.shape[0]
         bxl = jnp.transpose(bx)  # (16, K)
-        byl = jnp.transpose(by)
         dx = field.sub(tx[:, None, :], bxl[:, :, None])  # (16, K, batch)
         dx_flat = dx.reshape(16, K * batch)
         dx_safe = u256.select(
@@ -220,15 +205,201 @@ def fused_scan_step(fmt: AddressFormat, batch: int, n_states: int,
         )  # (K, 16, batch)
 
         if k_sub == 1:
-            return _tail_one(bx[0], by[0], tx, ty, inv_all[0], dfa_f32,
-                             accept_f32, start, remaining[0])[None]
+            return tail_one(bx[0], by[0], tx, ty, inv_all[0], remaining[0],
+                            *margs)[None]
 
         def body(_, xs):
             bxk, byk, remk, invk = xs
-            return None, _tail_one(bxk, byk, tx, ty, invk, dfa_f32,
-                                   accept_f32, start, remk)
+            return None, tail_one(bxk, byk, tx, ty, invk, remk, *margs)
 
         _, outs = jax.lax.scan(body, None, (bx, by, remaining, inv_all))
         return outs
 
     return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=16)
+def fused_scan_step(fmt: AddressFormat, batch: int, n_states: int,
+                    chain_len: int = 256, tile: int = DEFAULT_TILE,
+                    k_sub: int = 1):
+    """Full jitted step: XLA inversion + fused Pallas DFA tail + top-K.
+
+    With k_sub > 1 the step scans k_sub consecutive key windows (one base
+    point each, same replicated table) in ONE dispatch, returning a packed
+    (k_sub, 18) int32 result [[count, ops, idx0..idx15], ...].  Host<->device
+    round trips through the device tunnel cost ~27 ms each, so results for
+    k_sub * batch keys ship as a single transfer.
+
+    (bx (K,16), by (K,16), tx, ty, dfa_f32, accept_f32, start,
+     remaining (K,)) -> (K, 18) int32
+    """
+    match_fn = fused_match_fn(fmt, batch, n_states, tile)
+
+    def _tail_one(bx, by, tx, ty, inv_dx, remaining, dfa_f32, accept_f32,
+                  start):
+        match = match_fn(
+            start, remaining, bx, by, tx, ty, inv_dx, dfa_f32, accept_f32
+        )[0]
+        return _pack_tail(match, remaining, batch)
+
+    built = _build_step(_tail_one, batch, chain_len, k_sub)
+
+    def step(bx, by, tx, ty, dfa_f32, accept_f32, start, remaining):
+        return built(bx, by, tx, ty, remaining, dfa_f32, accept_f32, start)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Interval (anchored-prefix) fast path: hash160 range compare instead of
+# encode+DFA (pattern/intervals.py).  Tail work per key drops to
+# EC-finish + SHA-256 + RIPEMD-160 + a few word compares.
+# ---------------------------------------------------------------------------
+
+N_H160_WORDS = 5  # 160-bit hash as big-endian u32 words
+MAX_IV = 8  # fixed comparator slots (pattern.intervals.MAX_INTERVALS)
+
+
+def _hash_words(fmt: AddressFormat, x3, y3):
+    """Format's device-checked hash value as big-endian u32 word rows."""
+    if fmt in (AddressFormat.P2PKH, AddressFormat.P2WPKH):
+        h = encode.hash160_33(pipeline.compressed_pubkey_bytes(x3, y3))
+    elif fmt == AddressFormat.P2PKH_UNCOMPRESSED:
+        h = encode.hash160_65(pipeline.uncompressed_pubkey_bytes(x3, y3))
+    elif fmt == AddressFormat.P2SH_P2WPKH:
+        h160 = encode.hash160_33(pipeline.compressed_pubkey_bytes(x3, y3))
+        B = h160.shape[1:]
+        script = jnp.concatenate(
+            [
+                jnp.zeros((1,) + B, dtype=jnp.uint32),
+                jnp.full((1,) + B, 0x14, dtype=jnp.uint32),
+                h160,
+            ],
+            axis=0,
+        )
+        h = encode.hash160_22(script)
+    else:  # pragma: no cover
+        raise ValueError(f"interval path does not support {fmt}")
+    return [
+        (h[4 * i] << 24) | (h[4 * i + 1] << 16)
+        | (h[4 * i + 2] << 8) | h[4 * i + 3]
+        for i in range(N_H160_WORDS)
+    ]
+
+
+def intervals_to_words(ivs, n_words: int = N_H160_WORDS, n_slots: int = MAX_IV):
+    """Host: [(lo, hi)] ints -> (lo, hi) uint32 arrays (n_slots, n_words),
+    big-endian words, padded with empty (lo=1 > hi=0) intervals."""
+    lo = np.zeros((n_slots, n_words), dtype=np.uint32)
+    hi = np.zeros((n_slots, n_words), dtype=np.uint32)
+    lo[:, n_words - 1] = 1  # empty padding: lo > hi never matches
+    for j, (l, h) in enumerate(ivs):
+        for w in range(n_words):
+            sh = 32 * (n_words - 1 - w)
+            lo[j, w] = (l >> sh) & 0xFFFFFFFF
+            hi[j, w] = (h >> sh) & 0xFFFFFFFF
+    return lo, hi
+
+
+def _in_intervals(words, lo_ref, hi_ref):
+    """Lexicographic lo <= words <= hi over MAX_IV unrolled interval slots.
+
+    words: list of N_H160_WORDS (T,) uint32 rows; lo_ref/hi_ref: SMEM
+    (MAX_IV, N_H160_WORDS) uint32 bound tables."""
+    n = len(words)
+    matched = None
+    for j in range(MAX_IV):
+        ge = words[n - 1] >= lo_ref[j, n - 1]
+        le = words[n - 1] <= hi_ref[j, n - 1]
+        for w in range(n - 2, -1, -1):
+            lw = lo_ref[j, w]
+            hw = hi_ref[j, w]
+            ge = (words[w] > lw) | ((words[w] == lw) & ge)
+            le = (words[w] < hw) | ((words[w] == hw) & le)
+        hit = ge & le
+        matched = hit if matched is None else (matched | hit)
+    return matched
+
+
+def _make_range_kernel(fmt: AddressFormat, tile: int):
+    def kernel(rem_ref, lo_ref, hi_ref, bx_ref, by_ref, tx_ref, ty_ref,
+               inv_ref, match_ref):
+        i = pl.program_id(0)
+        bx = bx_ref[:, 0][:, None]
+        by = by_ref[:, 0][:, None]
+        x3, y3, valid = _ec_finish(bx, by, tx_ref[...], ty_ref[...],
+                                   inv_ref[...])
+        words = _hash_words(fmt, x3, y3)
+        matched = _in_intervals(words, lo_ref, hi_ref)
+        gidx = i * tile + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile), 1
+        )[0]
+        valid = valid & (gidx < rem_ref[0])
+        match_ref[0, :] = jnp.where(matched & valid, 1, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def fused_range_match_fn(fmt: AddressFormat, batch: int,
+                         tile: int = DEFAULT_TILE):
+    """Compiled interval matcher: (remaining, lo, hi, bx, by, tx, ty,
+    inv_dx) -> match (1, batch) int32."""
+    grid = batch // tile
+    kernel = _make_range_kernel(fmt, tile)
+
+    limb = lambda: pl.BlockSpec((16, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # remaining (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lo (MAX_IV, 5)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # hi (MAX_IV, 5)
+            rep((16, 1)),  # bx
+            rep((16, 1)),  # by
+            limb(),  # tx
+            limb(),  # ty
+            limb(),  # inv_dx
+        ],
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, batch), jnp.int32),
+    )
+
+    def fn(remaining, lo, hi, bx, by, tx, ty, inv_dx):
+        return call(
+            jnp.reshape(jnp.asarray(remaining, dtype=jnp.int32), (1,)),
+            lo, hi,
+            bx.reshape(16, 1), by.reshape(16, 1),
+            tx, ty, inv_dx,
+        )
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
+def fused_range_scan_step(fmt: AddressFormat, batch: int,
+                          chain_len: int = 256, tile: int = DEFAULT_TILE,
+                          k_sub: int = 1):
+    """Interval-matching scan step (same shape contract as fused_scan_step):
+
+    (bx (K,16), by (K,16), tx, ty, lo (8,5) u32, hi (8,5) u32,
+     remaining (K,)) -> (K, 18) int32 packed results.
+    """
+    match_fn = fused_range_match_fn(fmt, batch, tile)
+
+    def _tail_one(bx, by, tx, ty, inv_dx, remaining, lo, hi):
+        match = match_fn(remaining, lo, hi, bx, by, tx, ty, inv_dx)[0]
+        return _pack_tail(match, remaining, batch)
+
+    built = _build_step(_tail_one, batch, chain_len, k_sub)
+
+    def step(bx, by, tx, ty, lo, hi, remaining):
+        return built(bx, by, tx, ty, remaining, lo, hi)
+
+    return step

@@ -124,6 +124,15 @@ class Pattern:
             table=table, accept=dfa.accept.copy(), start=start, n_digits=n_digits
         )
 
+    def match_intervals(self, fmt: AddressFormat):
+        """Interval compilation for anchored-literal prefixes (see
+        pattern.intervals): tuple of inclusive (lo, hi) ints on the format's
+        device-checked hash value, () if unsatisfiable, or None when the
+        pattern needs the general DFA path."""
+        from vgen_tpu.pattern.intervals import match_intervals
+
+        return match_intervals(fmt, self._original, self._case_insensitive)
+
     # -- reference-parity analyses ----------------------------------------
 
     def validate_charset(self, fmt: AddressFormat) -> List[str]:

@@ -172,22 +172,40 @@ class DeviceScanner:
 
         # Fused Pallas path: TPU-only (Mosaic), supported formats.  k_sub
         # consecutive windows per dispatch amortize the device-tunnel RTT.
+        # Anchored-literal prefixes compile to hash160 intervals (the
+        # VanitySearch-style specialization, pattern/intervals.py) which
+        # skip the on-device encode+DFA entirely; other patterns use the
+        # on-device DFA matcher.
         fused_step = None
+        fused_kind = None
         k_sub = self.k_sub
         if self.device.platform not in ("cpu",):
             from vgen_tpu.ops import pallas_fused
 
-            if (config.format in pallas_fused.FUSED_FORMATS
-                    and accept.shape[0] <= 256):
-                S = accept.shape[0]
-                fused_step = pallas_fused.fused_scan_step(
-                    config.format, self.batch, S, self.chain_len,
-                    k_sub=k_sub,
-                )
-                dfa_f32 = jnp.asarray(
-                    flat.reshape(S, -1).astype(np.float32)
-                )
-                acc_f32 = jnp.asarray(accept.astype(np.float32).reshape(S, 1))
+            if config.format in pallas_fused.FUSED_FORMATS:
+                ivs = pattern.match_intervals(config.format)
+                if ivs is not None:
+                    lo_np, hi_np = pallas_fused.intervals_to_words(ivs)
+                    lo_w = jnp.asarray(lo_np)
+                    hi_w = jnp.asarray(hi_np)
+                    fused_step = pallas_fused.fused_range_scan_step(
+                        config.format, self.batch, self.chain_len,
+                        k_sub=k_sub,
+                    )
+                    fused_kind = "range"
+                elif accept.shape[0] <= 256:
+                    S = accept.shape[0]
+                    fused_step = pallas_fused.fused_scan_step(
+                        config.format, self.batch, S, self.chain_len,
+                        k_sub=k_sub,
+                    )
+                    dfa_f32 = jnp.asarray(
+                        flat.reshape(S, -1).astype(np.float32)
+                    )
+                    acc_f32 = jnp.asarray(
+                        accept.astype(np.float32).reshape(S, 1)
+                    )
+                    fused_kind = "dfa"
 
         is_range = config.start is not None
         ckpt = config.checkpoint if is_range else None
@@ -253,11 +271,16 @@ class DeviceScanner:
                 pts = [ec.scalar_mult_base_fast(s) for s in base_scalars]
                 bx = jnp.asarray(_ints_to_limbs([p[0] for p in pts]))
                 by = jnp.asarray(_ints_to_limbs([p[1] for p in pts]))
-                packed = fused_step(
-                    bx, by, self.tx, self.ty, dfa_f32, acc_f32,
-                    jnp.int32(dev_dfa.start),
-                    jnp.asarray(remainings, dtype=jnp.int32),
-                )
+                rem = jnp.asarray(remainings, dtype=jnp.int32)
+                if fused_kind == "range":
+                    packed = fused_step(
+                        bx, by, self.tx, self.ty, lo_w, hi_w, rem
+                    )
+                else:
+                    packed = fused_step(
+                        bx, by, self.tx, self.ty, dfa_f32, acc_f32,
+                        jnp.int32(dev_dfa.start), rem,
+                    )
             else:
                 bx, by = self._base_limbs(base_scalars[0])
                 res = pipeline.run_scan_step(
