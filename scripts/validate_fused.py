@@ -130,6 +130,51 @@ def run_validation(batch: int = 262144, tile: int = 512) -> bool:
               f"missing={missing}, spurious={extra})")
         ok = ok and range_ok
 
+    # GLV interval path: a window position i hits iff ANY of the 6
+    # endomorphism variants of k_i = base+1+i matches the pattern.
+    for fmt, pattern in [
+        (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.P2WPKH, "^bc1qq"),
+        (AddressFormat.P2SH_P2WPKH, "^3J"),
+    ]:
+        gen = AddressGenerator(fmt)
+        pat = Pattern(pattern)
+        ivs = pat.match_intervals(fmt)
+
+        def _any_variant(i):
+            return any(
+                pat.matches(gen.generate(v.to_bytes(32, "big")).address)
+                for v in ec.glv_variant_keys(base_oracle + 1 + i)
+            )
+
+        expect_glv = sorted(i for i in range(n_oracle) if _any_variant(i))
+        lo_np, hi_np = pallas_fused.intervals_to_words(ivs)
+        base = ec.scalar_mult(base_oracle)
+        bx1 = jnp.asarray(_ints_to_limbs([base[0]]))
+        by1 = jnp.asarray(_ints_to_limbs([base[1]]))
+        gstep = pallas_fused.fused_range_scan_step(
+            fmt, batch, 256, tile, 1, glv=True
+        )
+        packed = np.asarray(
+            gstep(
+                bx1, by1, tx, ty,
+                jnp.asarray(lo_np), jnp.asarray(hi_np),
+                jnp.full((1,), n_oracle, jnp.int32),
+            )
+        )[0]
+        got = sorted(int(i) for i in packed[2:] if i >= 0)
+        extra = [i for i in got if i not in expect_glv]
+        missing = [i for i in expect_glv[-16:] if i not in got]
+        glv_ok = (
+            not missing and not extra
+            and int(packed[0]) == len(expect_glv)
+            and int(packed[1]) == 6 * n_oracle
+        )
+        print(f"{fmt.value}: GLV window match = {glv_ok} "
+              f"(count {packed[0]} vs {len(expect_glv)}, ops {packed[1]}, "
+              f"missing={missing}, spurious={extra})")
+        ok = ok and glv_ok
+
     for fmt, pattern in [
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "^bc1qq"),

@@ -165,14 +165,17 @@ def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
     return fn
 
 
-def _pack_tail(match, remaining, batch):
-    """(batch,) 0/1 match vector -> packed [count, ops, top-K indices]."""
+def _pack_tail(match, remaining, batch, ops_mult: int = 1):
+    """(batch,) match vector (0 = miss, nonzero = hit / GLV variant mask)
+    -> packed [count, ops, top-K indices].  ops_mult scales the reported
+    key-check count (6 for GLV steps: each position checks 6 keys)."""
     idx = jnp.arange(batch, dtype=jnp.int32)
     matched = match > 0
-    count = jnp.sum(match)
+    count = jnp.sum(matched.astype(jnp.int32))
     scores = jnp.where(matched, idx, jnp.int32(-1))
     top, _ = jax.lax.top_k(scores, pipeline.TOP_K)
     ops = jnp.minimum(jnp.maximum(remaining, jnp.int32(0)), jnp.int32(batch))
+    ops = ops * jnp.int32(ops_mult)
     return jnp.concatenate([count[None], ops[None], top])
 
 
@@ -260,6 +263,29 @@ N_H160_WORDS = 5  # 160-bit hash as big-endian u32 words
 MAX_IV = 8  # fixed comparator slots (pattern.intervals.MAX_INTERVALS)
 
 
+def _h160_be_words(h):
+    """(20, T) hash bytes -> list of N_H160_WORDS (T,) big-endian u32 rows."""
+    return [
+        (h[4 * i] << 24) | (h[4 * i + 1] << 16)
+        | (h[4 * i + 2] << 8) | h[4 * i + 3]
+        for i in range(N_H160_WORDS)
+    ]
+
+
+def _script_hash(h160):
+    """hash160(OP_0 OP_PUSH20 <h160>) -- the P2SH-P2WPKH redeem script."""
+    B = h160.shape[1:]
+    script = jnp.concatenate(
+        [
+            jnp.zeros((1,) + B, dtype=jnp.uint32),
+            jnp.full((1,) + B, 0x14, dtype=jnp.uint32),
+            h160,
+        ],
+        axis=0,
+    )
+    return encode.hash160_22(script)
+
+
 def _hash_words(fmt: AddressFormat, x3, y3):
     """Format's device-checked hash value as big-endian u32 word rows."""
     if fmt in (AddressFormat.P2PKH, AddressFormat.P2WPKH):
@@ -267,24 +293,12 @@ def _hash_words(fmt: AddressFormat, x3, y3):
     elif fmt == AddressFormat.P2PKH_UNCOMPRESSED:
         h = encode.hash160_65(pipeline.uncompressed_pubkey_bytes(x3, y3))
     elif fmt == AddressFormat.P2SH_P2WPKH:
-        h160 = encode.hash160_33(pipeline.compressed_pubkey_bytes(x3, y3))
-        B = h160.shape[1:]
-        script = jnp.concatenate(
-            [
-                jnp.zeros((1,) + B, dtype=jnp.uint32),
-                jnp.full((1,) + B, 0x14, dtype=jnp.uint32),
-                h160,
-            ],
-            axis=0,
+        h = _script_hash(
+            encode.hash160_33(pipeline.compressed_pubkey_bytes(x3, y3))
         )
-        h = encode.hash160_22(script)
     else:  # pragma: no cover
         raise ValueError(f"interval path does not support {fmt}")
-    return [
-        (h[4 * i] << 24) | (h[4 * i + 1] << 16)
-        | (h[4 * i + 2] << 8) | h[4 * i + 3]
-        for i in range(N_H160_WORDS)
-    ]
+    return _h160_be_words(h)
 
 
 def intervals_to_words(ivs, n_words: int = N_H160_WORDS, n_slots: int = MAX_IV):
@@ -340,13 +354,75 @@ def _make_range_kernel(fmt: AddressFormat, tile: int):
     return kernel
 
 
+# GLV endomorphism expansion (crypto/secp256k1.py BETA/LAMBDA): formats whose
+# device value is hash160(compressed pubkey)-derived, where the 6 keys
+# {±k, ±λk, ±λ²k} share x-coordinates {x, βx, β²x} and the two sign variants
+# are exactly the two compressed-prefix parities -- so 6 keys are checked
+# per EC add with NO y computation at all (the same amortization
+# VanitySearch uses; the reference checks 1 key per add, search.wgsl:3-31).
+GLV_FORMATS = (
+    AddressFormat.P2PKH,
+    AddressFormat.P2WPKH,
+    AddressFormat.P2SH_P2WPKH,
+)
+
+
+def _ec_finish_x(bx, by, tx, ty, inv_dx):
+    """x-coordinate-only affine add: one field mul cheaper than _ec_finish
+    (skips y3), enough for GLV parity-pair matching."""
+    dx = field.sub(tx, bx)
+    valid = ~u256.is_zero(dx)
+    lam = field.mul(field.sub(ty, by), inv_dx)
+    x3 = field.sub(field.sub(field.square(lam), bx), tx)
+    return x3, valid
+
+
+def _make_range_glv_kernel(fmt: AddressFormat, tile: int):
+    from vgen_tpu.crypto import secp256k1 as ec
+
+    def kernel(rem_ref, lo_ref, hi_ref, bx_ref, by_ref, tx_ref, ty_ref,
+               inv_ref, match_ref):
+        i = pl.program_id(0)
+        bx = bx_ref[:, 0][:, None]
+        by = by_ref[:, 0][:, None]
+        x3, valid = _ec_finish_x(bx, by, tx_ref[...], ty_ref[...],
+                                 inv_ref[...])
+        beta = u256.constant(ec.BETA, x3.shape[1:])
+        beta2 = u256.constant(ec.BETA2, x3.shape[1:])
+        mask = jnp.zeros(x3.shape[1:], dtype=jnp.int32)
+        for v, xv in enumerate(
+            (x3, field.mul(x3, beta), field.mul(x3, beta2))
+        ):
+            xb = u256.to_bytes_be(xv)
+            for pi in range(2):  # compressed prefix 02 / 03 = the ± pair
+                prefix = jnp.full(
+                    (1,) + xb.shape[1:], 2 + pi, dtype=jnp.uint32
+                )
+                h = encode.hash160_33(
+                    jnp.concatenate([prefix, xb], axis=0)
+                )
+                if fmt == AddressFormat.P2SH_P2WPKH:
+                    h = _script_hash(h)
+                m = _in_intervals(_h160_be_words(h), lo_ref, hi_ref)
+                mask = mask | jnp.where(m, jnp.int32(1 << (2 * v + pi)), 0)
+        gidx = i * tile + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile), 1
+        )[0]
+        valid = valid & (gidx < rem_ref[0])
+        match_ref[0, :] = jnp.where(valid, mask, 0)
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=16)
 def fused_range_match_fn(fmt: AddressFormat, batch: int,
-                         tile: int = DEFAULT_TILE):
+                         tile: int = DEFAULT_TILE, glv: bool = False):
     """Compiled interval matcher: (remaining, lo, hi, bx, by, tx, ty,
-    inv_dx) -> match (1, batch) int32."""
+    inv_dx) -> match (1, batch) int32 (0/1, or a 6-bit variant mask when
+    glv -- any nonzero means some GLV variant of the key matched)."""
     grid = batch // tile
-    kernel = _make_range_kernel(fmt, tile)
+    maker = _make_range_glv_kernel if glv else _make_range_kernel
+    kernel = maker(fmt, tile)
 
     limb = lambda: pl.BlockSpec((16, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
@@ -385,17 +461,21 @@ def fused_range_match_fn(fmt: AddressFormat, batch: int,
 @functools.lru_cache(maxsize=16)
 def fused_range_scan_step(fmt: AddressFormat, batch: int,
                           chain_len: int = 256, tile: int = DEFAULT_TILE,
-                          k_sub: int = 1):
+                          k_sub: int = 1, glv: bool = False):
     """Interval-matching scan step (same shape contract as fused_scan_step):
 
     (bx (K,16), by (K,16), tx, ty, lo (8,5) u32, hi (8,5) u32,
      remaining (K,)) -> (K, 18) int32 packed results.
+
+    With glv=True each window position checks the 6 GLV variant keys of
+    base+1+idx (ops reported 6x); the host must re-derive all variants of a
+    reported index (crypto.secp256k1.glv_variant_keys).
     """
-    match_fn = fused_range_match_fn(fmt, batch, tile)
+    match_fn = fused_range_match_fn(fmt, batch, tile, glv)
 
     def _tail_one(bx, by, tx, ty, inv_dx, remaining, lo, hi):
         match = match_fn(remaining, lo, hi, bx, by, tx, ty, inv_dx)[0]
-        return _pack_tail(match, remaining, batch)
+        return _pack_tail(match, remaining, batch, ops_mult=6 if glv else 1)
 
     built = _build_step(_tail_one, batch, chain_len, k_sub)
 

@@ -178,6 +178,7 @@ class DeviceScanner:
         # on-device DFA matcher.
         fused_step = None
         fused_kind = None
+        glv = False
         k_sub = self.k_sub
         if self.device.platform not in ("cpu",):
             from vgen_tpu.ops import pallas_fused
@@ -185,12 +186,20 @@ class DeviceScanner:
             if config.format in pallas_fused.FUSED_FORMATS:
                 ivs = pattern.match_intervals(config.format)
                 if ivs is not None:
+                    # GLV: random scans may substitute any of the 6
+                    # endomorphism variants {±k, ±λk, ±λ²k} for a window
+                    # key -- 6 keys per EC add.  Range scans must report
+                    # keys inside [start, end], so variants are off there.
+                    glv = (
+                        config.start is None
+                        and config.format in pallas_fused.GLV_FORMATS
+                    )
                     lo_np, hi_np = pallas_fused.intervals_to_words(ivs)
                     lo_w = jnp.asarray(lo_np)
                     hi_w = jnp.asarray(hi_np)
                     fused_step = pallas_fused.fused_range_scan_step(
                         config.format, self.batch, self.chain_len,
-                        k_sub=k_sub,
+                        k_sub=k_sub, glv=glv,
                     )
                     fused_kind = "range"
                 elif accept.shape[0] <= 256:
@@ -315,14 +324,20 @@ class DeviceScanner:
                     for idx in sorted(int(i) for i in arr[k, 2:] if i >= 0):
                         if len(matches) >= target:
                             break
-                        key = base_scalar + 1 + idx
-                        ga = _derive_checked(key, config.format, gen)
-                        # host-side re-derivation doubles as a device-
-                        # correctness check (the reference gets the same
-                        # property by encoding GPU hashes with an independent
-                        # crate, SURVEY.md §4)
-                        if ga is not None and pattern.matches(ga.address):
-                            matches.append(ga)
+                        key0 = base_scalar + 1 + idx
+                        cands = (
+                            ec.glv_variant_keys(key0) if glv else [key0]
+                        )
+                        for key in cands:
+                            if len(matches) >= target:
+                                break
+                            ga = _derive_checked(key, config.format, gen)
+                            # host-side re-derivation doubles as a device-
+                            # correctness check (the reference gets the same
+                            # property by encoding GPU hashes with an
+                            # independent crate, SURVEY.md §4)
+                            if ga is not None and pattern.matches(ga.address):
+                                matches.append(ga)
             if ckpt is not None:
                 # keys below the end of this drained window are now complete
                 done_end = base_scalars[-1] + self.batch
