@@ -90,6 +90,7 @@ def run_validation(batch: int = 262144, tile: int = 512) -> bool:
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "^bc1qq"),
         (AddressFormat.P2SH_P2WPKH, "^3J"),
+        (AddressFormat.ETHEREUM, "^0x12"),
     ]:
         gen = AddressGenerator(fmt)
         pat = Pattern(pattern)
@@ -136,6 +137,7 @@ def run_validation(batch: int = 262144, tile: int = 512) -> bool:
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "^bc1qq"),
         (AddressFormat.P2SH_P2WPKH, "^3J"),
+        (AddressFormat.ETHEREUM, "^0x12"),
     ]:
         gen = AddressGenerator(fmt)
         pat = Pattern(pattern)

@@ -1,0 +1,92 @@
+"""XLA interval tail (ops/pipeline.make_range_tail) vs the host oracle.
+
+Covers every format (including P2TR's on-chip TapTweak and Ethereum's
+keccak path) and the GLV 6-variant expansion.  The fused Pallas kernels
+share these exact helpers (ops/pallas_fused) and are validated on real TPU
+by scripts/validate_fused.py."""
+
+import numpy as np
+import pytest
+
+from vgen_tpu.crypto import secp256k1 as ec
+from vgen_tpu.crypto.address import AddressFormat, AddressGenerator
+from vgen_tpu.ops import pipeline
+from vgen_tpu.pattern import Pattern
+from vgen_tpu.scan import tables
+
+B = 256
+BASE = 0x5EED5EED5EED
+CHAIN = 16
+
+
+def _run(fmt, pattern_str, glv=False):
+    import jax.numpy as jnp
+
+    tx, ty = tables.ig_table_limbs(B)
+    pt = ec.scalar_mult(BASE)
+    bx = jnp.asarray(tables._ints_to_limbs([pt[0]])[0])
+    by = jnp.asarray(tables._ints_to_limbs([pt[1]])[0])
+    pat = Pattern(pattern_str)
+    ivs = pat.match_intervals(fmt)
+    assert ivs is not None, (fmt, pattern_str)
+    lo, hi = pipeline.intervals_to_words(
+        ivs, pipeline.INTERVAL_WORDS[fmt]
+    )
+    extras = ()
+    if fmt == AddressFormat.P2TR:
+        extras = (jnp.asarray(tables.window_table_u32(8)),)
+    res = pipeline.run_range_scan_step(
+        fmt, bx, by, jnp.asarray(tx), jnp.asarray(ty), lo, hi, B,
+        extras=extras, chain_len=CHAIN, glv=glv,
+    )
+    got = sorted(int(i) for i in np.asarray(res.indices) if i >= 0)
+    return pat, got, int(res.count), int(res.ops)
+
+
+def _oracle(fmt, pat, glv):
+    gen = AddressGenerator(fmt)
+    out = []
+    for i in range(B):
+        keys = (
+            ec.glv_variant_keys(BASE + 1 + i) if glv else [BASE + 1 + i]
+        )
+        if any(
+            pat.matches(gen.generate(k.to_bytes(32, "big")).address)
+            for k in keys
+        ):
+            out.append(i)
+    return out
+
+
+@pytest.mark.parametrize(
+    "fmt,pattern",
+    [
+        (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.P2PKH_UNCOMPRESSED, "^1A"),
+        (AddressFormat.P2SH_P2WPKH, "^3A"),
+        (AddressFormat.P2WPKH, "^bc1qq"),
+        (AddressFormat.P2TR, "^bc1pq"),
+        (AddressFormat.ETHEREUM, "^0x1"),
+    ],
+)
+def test_range_tail_vs_oracle(fmt, pattern):
+    pat, got, count, ops = _run(fmt, pattern)
+    expect = _oracle(fmt, pat, glv=False)
+    assert got == expect[-pipeline.TOP_K:]
+    assert count == len(expect)
+    assert ops == B
+
+
+@pytest.mark.parametrize(
+    "fmt,pattern",
+    [
+        (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.ETHEREUM, "^0x1"),
+    ],
+)
+def test_range_tail_glv_vs_oracle(fmt, pattern):
+    pat, got, count, ops = _run(fmt, pattern, glv=True)
+    expect = _oracle(fmt, pat, glv=True)
+    assert got == expect[-pipeline.TOP_K:]
+    assert count == len(expect)
+    assert ops == 6 * B

@@ -68,7 +68,7 @@ def _pow256_base58_matrix() -> np.ndarray:
 _POW256_B58 = _pow256_base58_matrix()
 
 
-def base58check_symbols(payload21, basis=None):
+def base58check_symbols(payload21, basis=None, unroll: bool = False):
     """Base58Check of version||hash160: (21, *B) bytes -> (symbols(34), length).
 
     Appends the 4-byte double-SHA checksum on device, converts the 25-byte
@@ -80,7 +80,7 @@ def base58check_symbols(payload21, basis=None):
     equals the canonical minimal encoding ('1' per leading zero byte).
     """
     B = payload21.shape[1:]
-    check = dev_sha.double_sha256_bytes(payload21, 21)[:4]
+    check = dev_sha.double_sha256_bytes(payload21, 21, unroll=unroll)[:4]
     payload = jnp.concatenate([payload21, check], axis=0)  # (25, *B)
 
     # DEFAULT (bf16) precision is exact here: both operands are integers
@@ -242,13 +242,19 @@ def eth_symbols(addr20):
 
 # --- hash160 convenience ---------------------------------------------------
 
-def hash160_33(pubkey33):
-    return dev_ripemd.ripemd160_digest32(dev_sha.sha256_bytes(pubkey33, 33))
+def hash160_33(pubkey33, unroll: bool = False):
+    return dev_ripemd.ripemd160_digest32(
+        dev_sha.sha256_bytes(pubkey33, 33, unroll=unroll)
+    )
 
 
-def hash160_22(script22):
-    return dev_ripemd.ripemd160_digest32(dev_sha.sha256_bytes(script22, 22))
+def hash160_22(script22, unroll: bool = False):
+    return dev_ripemd.ripemd160_digest32(
+        dev_sha.sha256_bytes(script22, 22, unroll=unroll)
+    )
 
 
-def hash160_65(pubkey65):
-    return dev_ripemd.ripemd160_digest32(dev_sha.sha256_bytes_2block(pubkey65, 65))
+def hash160_65(pubkey65, unroll: bool = False):
+    return dev_ripemd.ripemd160_digest32(
+        dev_sha.sha256_bytes_2block(pubkey65, 65, unroll=unroll)
+    )

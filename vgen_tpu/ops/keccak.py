@@ -6,8 +6,10 @@ and the EIP-55 checksum hash (40 ASCII hex chars) run on-chip.  Both inputs
 fit a single 136-byte-rate block, so absorption is constant-shaped.
 
 State: two (25, *B) uint32 arrays (hi, lo), lane index x + 5*y.  Rotations
-are static per lane, so the round body unrolls with shifts only; the 24
-rounds run under fori_loop with the round constants indexed per iteration.
+are static per lane, so the round body unrolls with shifts only.  The 24
+rounds run under fori_loop by default (fast XLA compiles); Pallas kernels
+pass unroll=True to get scalar iota constants with no captured arrays and
+no dynamic indexing (Mosaic rejects both).
 """
 
 from __future__ import annotations
@@ -66,10 +68,17 @@ def _rotl64(hi, lo, n: int):
     return nh, nl
 
 
-def keccak_f1600(hi, lo):
-    """Permutation on (25, *B) hi/lo uint32 arrays."""
-    rc_hi = jnp.asarray(_RC_HI)
-    rc_lo = jnp.asarray(_RC_LO)
+def keccak_f1600(hi, lo, unroll: bool = False):
+    """Permutation on (25, *B) hi/lo uint32 arrays.
+
+    unroll=False (jit/XLA): 24 rounds under fori_loop with the round
+    constants indexed per iteration -- compiles ~24x less graph.
+    unroll=True (Pallas): static rounds with scalar iota constants, since
+    Mosaic rejects captured constant arrays and dynamic indexing."""
+
+    if not unroll:
+        rc_hi = jnp.asarray(_RC_HI)
+        rc_lo = jnp.asarray(_RC_LO)
 
     def round_body(r, carry):
         hi, lo = carry
@@ -100,14 +109,22 @@ def keccak_f1600(hi, lo):
                 nhi.append(bhi[i0] ^ (~bhi[i1] & bhi[i2]))
                 nlo.append(blo[i0] ^ (~blo[i1] & blo[i2]))
         # iota
-        nhi[0] = nhi[0] ^ rc_hi[r]
-        nlo[0] = nlo[0] ^ rc_lo[r]
+        if unroll:
+            nhi[0] = nhi[0] ^ jnp.uint32(int(_RC_HI[r]))
+            nlo[0] = nlo[0] ^ jnp.uint32(int(_RC_LO[r]))
+        else:
+            nhi[0] = nhi[0] ^ rc_hi[r]
+            nlo[0] = nlo[0] ^ rc_lo[r]
         return jnp.stack(nhi), jnp.stack(nlo)
 
+    if unroll:
+        for r in range(24):
+            hi, lo = round_body(r, (hi, lo))
+        return hi, lo
     return jax.lax.fori_loop(0, 24, round_body, (hi, lo))
 
 
-def keccak256_bytes(data, msg_len: int):
+def keccak256_bytes(data, msg_len: int, unroll: bool = False):
     """Keccak-256 of fixed-length messages (<= 135 bytes, single block).
 
     data: (msg_len, *B) byte values -> (32, *B) digest bytes."""
@@ -137,7 +154,7 @@ def keccak256_bytes(data, msg_len: int):
                     h = h | (byte << (8 * (b - 4)))
         hi.append(h)
         lo.append(l)
-    hi, lo = keccak_f1600(jnp.stack(hi), jnp.stack(lo))
+    hi, lo = keccak_f1600(jnp.stack(hi), jnp.stack(lo), unroll=unroll)
     out = []
     for lane in range(4):
         for b in range(8):

@@ -47,16 +47,26 @@ FUSED_FORMATS = (
     AddressFormat.P2SH_P2WPKH,
 )
 
+# Formats with an interval (range-compare) fused path.  Ethereum has no DFA
+# fused path (EIP-55 casing needs a second keccak per key) but its anchored
+# hex prefixes are ALWAYS interval-compilable, so it matches on account
+# bytes here and the host regex filters the casing.
+RANGE_FORMATS = FUSED_FORMATS + (AddressFormat.ETHEREUM,)
+
 
 def _symbols_for(fmt: AddressFormat, x3, y3, b58_basis):
+    # unroll=True: statically unrolled hash rounds (Mosaic rejects the
+    # fori_loop form's captured constant arrays)
     if fmt == AddressFormat.P2PKH:
-        return pipeline.symbols_p2pkh(x3, y3, b58_basis)
+        return pipeline.symbols_p2pkh(x3, y3, b58_basis, unroll=True)
     if fmt == AddressFormat.P2WPKH:
-        return pipeline.symbols_p2wpkh(x3, y3)
+        return pipeline.symbols_p2wpkh(x3, y3, unroll=True)
     if fmt == AddressFormat.P2SH_P2WPKH:
-        return pipeline.symbols_p2sh_p2wpkh(x3, y3, b58_basis)
+        return pipeline.symbols_p2sh_p2wpkh(x3, y3, b58_basis, unroll=True)
     if fmt == AddressFormat.P2PKH_UNCOMPRESSED:
-        return pipeline.symbols_p2pkh_uncompressed(x3, y3, b58_basis)
+        return pipeline.symbols_p2pkh_uncompressed(
+            x3, y3, b58_basis, unroll=True
+        )
     raise ValueError(f"fused path does not support {fmt}")
 
 
@@ -259,80 +269,18 @@ def fused_scan_step(fmt: AddressFormat, batch: int, n_states: int,
 # EC-finish + SHA-256 + RIPEMD-160 + a few word compares.
 # ---------------------------------------------------------------------------
 
-N_H160_WORDS = 5  # 160-bit hash as big-endian u32 words
-MAX_IV = 8  # fixed comparator slots (pattern.intervals.MAX_INTERVALS)
-
-
-def _h160_be_words(h):
-    """(20, T) hash bytes -> list of N_H160_WORDS (T,) big-endian u32 rows."""
-    return [
-        (h[4 * i] << 24) | (h[4 * i + 1] << 16)
-        | (h[4 * i + 2] << 8) | h[4 * i + 3]
-        for i in range(N_H160_WORDS)
-    ]
-
-
-def _script_hash(h160):
-    """hash160(OP_0 OP_PUSH20 <h160>) -- the P2SH-P2WPKH redeem script."""
-    B = h160.shape[1:]
-    script = jnp.concatenate(
-        [
-            jnp.zeros((1,) + B, dtype=jnp.uint32),
-            jnp.full((1,) + B, 0x14, dtype=jnp.uint32),
-            h160,
-        ],
-        axis=0,
-    )
-    return encode.hash160_22(script)
+# Shared interval helpers live in ops/pipeline.py (the same jnp code traces
+# in the XLA tail and inside these kernels); aliased here for the public
+# surface scanner/validate use.
+MAX_IV = pipeline.MAX_INTERVALS
+GLV_FORMATS = pipeline.GLV_FORMATS
+intervals_to_words = pipeline.intervals_to_words
 
 
 def _hash_words(fmt: AddressFormat, x3, y3):
-    """Format's device-checked hash value as big-endian u32 word rows."""
-    if fmt in (AddressFormat.P2PKH, AddressFormat.P2WPKH):
-        h = encode.hash160_33(pipeline.compressed_pubkey_bytes(x3, y3))
-    elif fmt == AddressFormat.P2PKH_UNCOMPRESSED:
-        h = encode.hash160_65(pipeline.uncompressed_pubkey_bytes(x3, y3))
-    elif fmt == AddressFormat.P2SH_P2WPKH:
-        h = _script_hash(
-            encode.hash160_33(pipeline.compressed_pubkey_bytes(x3, y3))
-        )
-    else:  # pragma: no cover
-        raise ValueError(f"interval path does not support {fmt}")
-    return _h160_be_words(h)
-
-
-def intervals_to_words(ivs, n_words: int = N_H160_WORDS, n_slots: int = MAX_IV):
-    """Host: [(lo, hi)] ints -> (lo, hi) uint32 arrays (n_slots, n_words),
-    big-endian words, padded with empty (lo=1 > hi=0) intervals."""
-    lo = np.zeros((n_slots, n_words), dtype=np.uint32)
-    hi = np.zeros((n_slots, n_words), dtype=np.uint32)
-    lo[:, n_words - 1] = 1  # empty padding: lo > hi never matches
-    for j, (l, h) in enumerate(ivs):
-        for w in range(n_words):
-            sh = 32 * (n_words - 1 - w)
-            lo[j, w] = (l >> sh) & 0xFFFFFFFF
-            hi[j, w] = (h >> sh) & 0xFFFFFFFF
-    return lo, hi
-
-
-def _in_intervals(words, lo_ref, hi_ref):
-    """Lexicographic lo <= words <= hi over MAX_IV unrolled interval slots.
-
-    words: list of N_H160_WORDS (T,) uint32 rows; lo_ref/hi_ref: SMEM
-    (MAX_IV, N_H160_WORDS) uint32 bound tables."""
-    n = len(words)
-    matched = None
-    for j in range(MAX_IV):
-        ge = words[n - 1] >= lo_ref[j, n - 1]
-        le = words[n - 1] <= hi_ref[j, n - 1]
-        for w in range(n - 2, -1, -1):
-            lw = lo_ref[j, w]
-            hw = hi_ref[j, w]
-            ge = (words[w] > lw) | ((words[w] == lw) & ge)
-            le = (words[w] < hw) | ((words[w] == hw) & le)
-        hit = ge & le
-        matched = hit if matched is None else (matched | hit)
-    return matched
+    words, ok = pipeline.interval_value_words(fmt, x3, y3, unroll=True)
+    assert ok is None, fmt  # P2TR (windowed tweak) has no fused kernel
+    return words
 
 
 def _make_range_kernel(fmt: AddressFormat, tile: int):
@@ -344,7 +292,7 @@ def _make_range_kernel(fmt: AddressFormat, tile: int):
         x3, y3, valid = _ec_finish(bx, by, tx_ref[...], ty_ref[...],
                                    inv_ref[...])
         words = _hash_words(fmt, x3, y3)
-        matched = _in_intervals(words, lo_ref, hi_ref)
+        matched = pipeline.in_intervals(words, lo_ref, hi_ref)
         gidx = i * tile + jax.lax.broadcasted_iota(
             jnp.int32, (1, tile), 1
         )[0]
@@ -352,19 +300,6 @@ def _make_range_kernel(fmt: AddressFormat, tile: int):
         match_ref[0, :] = jnp.where(matched & valid, 1, 0)
 
     return kernel
-
-
-# GLV endomorphism expansion (crypto/secp256k1.py BETA/LAMBDA): formats whose
-# device value is hash160(compressed pubkey)-derived, where the 6 keys
-# {±k, ±λk, ±λ²k} share x-coordinates {x, βx, β²x} and the two sign variants
-# are exactly the two compressed-prefix parities -- so 6 keys are checked
-# per EC add with NO y computation at all (the same amortization
-# VanitySearch uses; the reference checks 1 key per add, search.wgsl:3-31).
-GLV_FORMATS = (
-    AddressFormat.P2PKH,
-    AddressFormat.P2WPKH,
-    AddressFormat.P2SH_P2WPKH,
-)
 
 
 def _ec_finish_x(bx, by, tx, ty, inv_dx):
@@ -378,33 +313,28 @@ def _ec_finish_x(bx, by, tx, ty, inv_dx):
 
 
 def _make_range_glv_kernel(fmt: AddressFormat, tile: int):
-    from vgen_tpu.crypto import secp256k1 as ec
+    """GLV endomorphism kernel: 6 keys {±k, ±λk, ±λ²k} per EC add.  The
+    variants' points share x-coordinates {x, βx, β²x}; for hash160 formats
+    the ± pair is exactly the two compressed-prefix parities, so y is never
+    computed at all (x-only finish).  Ethereum hashes full coordinates, and
+    phi(x, y) = (βx, y) keeps y, so one full finish feeds all variants.
+    (The same amortization VanitySearch uses; the reference checks 1 key
+    per add, search.wgsl:3-31.)"""
 
     def kernel(rem_ref, lo_ref, hi_ref, bx_ref, by_ref, tx_ref, ty_ref,
                inv_ref, match_ref):
         i = pl.program_id(0)
         bx = bx_ref[:, 0][:, None]
         by = by_ref[:, 0][:, None]
-        x3, valid = _ec_finish_x(bx, by, tx_ref[...], ty_ref[...],
-                                 inv_ref[...])
-        beta = u256.constant(ec.BETA, x3.shape[1:])
-        beta2 = u256.constant(ec.BETA2, x3.shape[1:])
-        mask = jnp.zeros(x3.shape[1:], dtype=jnp.int32)
-        for v, xv in enumerate(
-            (x3, field.mul(x3, beta), field.mul(x3, beta2))
-        ):
-            xb = u256.to_bytes_be(xv)
-            for pi in range(2):  # compressed prefix 02 / 03 = the ± pair
-                prefix = jnp.full(
-                    (1,) + xb.shape[1:], 2 + pi, dtype=jnp.uint32
-                )
-                h = encode.hash160_33(
-                    jnp.concatenate([prefix, xb], axis=0)
-                )
-                if fmt == AddressFormat.P2SH_P2WPKH:
-                    h = _script_hash(h)
-                m = _in_intervals(_h160_be_words(h), lo_ref, hi_ref)
-                mask = mask | jnp.where(m, jnp.int32(1 << (2 * v + pi)), 0)
+        if fmt == AddressFormat.ETHEREUM:
+            x3, y3, valid = _ec_finish(bx, by, tx_ref[...], ty_ref[...],
+                                       inv_ref[...])
+        else:
+            x3, valid = _ec_finish_x(bx, by, tx_ref[...], ty_ref[...],
+                                     inv_ref[...])
+            y3 = None
+        mask = pipeline.glv_interval_mask(fmt, x3, y3, lo_ref, hi_ref,
+                                          unroll=True)
         gidx = i * tile + jax.lax.broadcasted_iota(
             jnp.int32, (1, tile), 1
         )[0]

@@ -126,23 +126,27 @@ def _base58_payload(version: int, h160):
     return jnp.concatenate([v, h160], axis=0)
 
 
-def symbols_p2pkh(x, y, b58_basis=None):
-    h160 = encode.hash160_33(compressed_pubkey_bytes(x, y))
-    return encode.base58check_symbols(_base58_payload(0, h160), b58_basis)
+def symbols_p2pkh(x, y, b58_basis=None, unroll=False):
+    h160 = encode.hash160_33(compressed_pubkey_bytes(x, y), unroll=unroll)
+    return encode.base58check_symbols(
+        _base58_payload(0, h160), b58_basis, unroll=unroll
+    )
 
 
-def symbols_p2pkh_uncompressed(x, y, b58_basis=None):
-    h160 = encode.hash160_65(uncompressed_pubkey_bytes(x, y))
-    return encode.base58check_symbols(_base58_payload(0, h160), b58_basis)
+def symbols_p2pkh_uncompressed(x, y, b58_basis=None, unroll=False):
+    h160 = encode.hash160_65(uncompressed_pubkey_bytes(x, y), unroll=unroll)
+    return encode.base58check_symbols(
+        _base58_payload(0, h160), b58_basis, unroll=unroll
+    )
 
 
-def symbols_p2wpkh(x, y, b58_basis=None):
-    h160 = encode.hash160_33(compressed_pubkey_bytes(x, y))
+def symbols_p2wpkh(x, y, b58_basis=None, unroll=False):
+    h160 = encode.hash160_33(compressed_pubkey_bytes(x, y), unroll=unroll)
     return encode.segwit_symbols(h160, 0)
 
 
-def symbols_p2sh_p2wpkh(x, y, b58_basis=None):
-    h160 = encode.hash160_33(compressed_pubkey_bytes(x, y))
+def symbols_p2sh_p2wpkh(x, y, b58_basis=None, unroll=False):
+    h160 = encode.hash160_33(compressed_pubkey_bytes(x, y), unroll=unroll)
     B = h160.shape[1:]
     script = jnp.concatenate(
         [
@@ -153,29 +157,30 @@ def symbols_p2sh_p2wpkh(x, y, b58_basis=None):
         axis=0,
     )
     return encode.base58check_symbols(
-        _base58_payload(5, encode.hash160_22(script)), b58_basis
+        _base58_payload(5, encode.hash160_22(script, unroll=unroll)),
+        b58_basis, unroll=unroll,
     )
 
 
-def symbols_ethereum(x, y):
+def symbols_ethereum(x, y, unroll=False):
     pub64 = jnp.concatenate([u256.to_bytes_be(x), u256.to_bytes_be(y)], axis=0)
-    digest = keccak.keccak256_bytes(pub64, 64)
+    digest = keccak.keccak256_bytes(pub64, 64, unroll=unroll)
     return encode.eth_symbols(digest[12:])
 
 
 _TAPTWEAK_MIDSTATE = sha256.tagged_midstate("TapTweak")
 
 
-def symbols_p2tr(x, y, window_table, valid):
-    """P2TR: even-Y normalize, TapTweak on-chip, Q = P_int + t*G, bech32m.
+def p2tr_output_key(x, y, window_table, unroll: bool = False):
+    """Taproot output key: even-Y normalize, TapTweak on-chip, Q = P + t*G.
 
     The reference computes the tweak per candidate on the CPU
     (gpu.rs:1282-1291); here the windowed ladder keeps it on-chip.
-    Returns (syms, length, valid&tweak_valid)."""
+    Returns (qx (16,*B) limbs, ok mask)."""
     B = x.shape[1:]
     y_even = u256.select(y[0] & jnp.uint32(1) == 0, y, field.neg(y))
     xb = u256.to_bytes_be(x)
-    t_bytes = sha256.tagged_hash_32(_TAPTWEAK_MIDSTATE, xb)  # (32,*B)
+    t_bytes = sha256.tagged_hash_32(_TAPTWEAK_MIDSTATE, xb, unroll=unroll)
     t_limbs = u256.from_bytes_be(t_bytes)
     # BIP341: t must be < n (negligible failure probability, still masked)
     n_limbs = u256.constant(field.N_INT, B)
@@ -189,8 +194,14 @@ def symbols_p2tr(x, y, window_table, valid):
     # guard Z=0 for batch normalization
     QZ_safe = u256.select(q_ok, QZ, u256.constant(1, B))
     qx, _ = curve.batch_jacobian_to_affine(QX, QY, QZ_safe)
+    return qx, t_ok & q_ok
+
+
+def symbols_p2tr(x, y, window_table, valid):
+    """P2TR bech32m symbols.  Returns (syms, length, valid&tweak_valid)."""
+    qx, ok = p2tr_output_key(x, y, window_table)
     syms, length = encode.segwit_symbols(u256.to_bytes_be(qx), 1)
-    return syms, length, valid & t_ok & q_ok
+    return syms, length, valid & ok
 
 
 class StepResult(NamedTuple):
@@ -301,3 +312,203 @@ def _jitted_pack():
 def pack_result(res: StepResult):
     """[count, ops, idx0..idx15] as one device array (single host transfer)."""
     return _jitted_pack()(res.count, res.ops, res.indices)
+
+
+# ---------------------------------------------------------------------------
+# Interval (anchored-prefix) matching: the pattern/intervals.py fast path.
+# Shared jnp helpers -- the same code traces in the XLA tail here (any
+# backend, multi-chip shard_map) and inside the Pallas kernels
+# (ops/pallas_fused.py).  Matching compares the format's device-checked
+# value (hash160 / account bytes / taproot output key) against precompiled
+# inclusive [lo, hi] word intervals instead of encode+DFA.
+# ---------------------------------------------------------------------------
+
+MAX_INTERVALS = 8  # comparator slots (pattern.intervals.MAX_INTERVALS)
+
+# big-endian u32 words of the compared value, per format
+INTERVAL_WORDS = {
+    AddressFormat.P2PKH: 5,
+    AddressFormat.P2PKH_UNCOMPRESSED: 5,
+    AddressFormat.P2SH_P2WPKH: 5,
+    AddressFormat.P2WPKH: 5,
+    AddressFormat.P2TR: 8,
+    AddressFormat.ETHEREUM: 5,
+}
+
+# formats where the GLV endomorphism checks 6 keys {±k, ±λk, ±λ²k} per EC
+# add (random scans only; see crypto/secp256k1.glv_variant_keys).  P2TR is
+# excluded: the TapTweak scalar-mult dominates and is per-variant.
+GLV_FORMATS = (
+    AddressFormat.P2PKH,
+    AddressFormat.P2WPKH,
+    AddressFormat.P2SH_P2WPKH,
+    AddressFormat.ETHEREUM,
+)
+
+
+def intervals_to_words(ivs, n_words: int = 5, n_slots: int = MAX_INTERVALS):
+    """Host: [(lo, hi)] ints -> (lo, hi) uint32 arrays (n_slots, n_words),
+    big-endian words, padded with empty (lo=1 > hi=0) intervals."""
+    lo = np.zeros((n_slots, n_words), dtype=np.uint32)
+    hi = np.zeros((n_slots, n_words), dtype=np.uint32)
+    lo[:, n_words - 1] = 1  # empty padding: lo > hi never matches
+    for j, (l, h) in enumerate(ivs):
+        for w in range(n_words):
+            sh = 32 * (n_words - 1 - w)
+            lo[j, w] = (l >> sh) & 0xFFFFFFFF
+            hi[j, w] = (h >> sh) & 0xFFFFFFFF
+    return lo, hi
+
+
+def bytes_be_words(h):
+    """(4*W, T) big-endian value bytes -> list of W (T,) u32 word rows."""
+    n = h.shape[0] // 4
+    return [
+        (h[4 * i] << 24) | (h[4 * i + 1] << 16)
+        | (h[4 * i + 2] << 8) | h[4 * i + 3]
+        for i in range(n)
+    ]
+
+
+def script_hash(h160, unroll: bool = False):
+    """hash160(OP_0 OP_PUSH20 <h160>) -- the P2SH-P2WPKH redeem script."""
+    B = h160.shape[1:]
+    script = jnp.concatenate(
+        [
+            jnp.zeros((1,) + B, dtype=jnp.uint32),
+            jnp.full((1,) + B, 0x14, dtype=jnp.uint32),
+            h160,
+        ],
+        axis=0,
+    )
+    return encode.hash160_22(script, unroll=unroll)
+
+
+def eth_account(x3, y3, unroll: bool = False):
+    """(20, T) Ethereum account bytes = keccak256(x||y)[12:].
+
+    unroll=True statically unrolls the keccak rounds (required inside
+    Pallas kernels; see ops/keccak.keccak_f1600)."""
+    pub64 = jnp.concatenate(
+        [u256.to_bytes_be(x3), u256.to_bytes_be(y3)], axis=0
+    )
+    return keccak.keccak256_bytes(pub64, 64, unroll=unroll)[12:32]
+
+
+def interval_value_words(fmt: AddressFormat, x3, y3, *extras,
+                         unroll: bool = False):
+    """Format's device-checked value as big-endian u32 word rows (+ok mask
+    refinement for P2TR)."""
+    ok = None
+    if fmt in (AddressFormat.P2PKH, AddressFormat.P2WPKH):
+        h = encode.hash160_33(compressed_pubkey_bytes(x3, y3), unroll=unroll)
+    elif fmt == AddressFormat.P2PKH_UNCOMPRESSED:
+        h = encode.hash160_65(uncompressed_pubkey_bytes(x3, y3), unroll=unroll)
+    elif fmt == AddressFormat.P2SH_P2WPKH:
+        h = script_hash(
+            encode.hash160_33(compressed_pubkey_bytes(x3, y3), unroll=unroll),
+            unroll=unroll,
+        )
+    elif fmt == AddressFormat.ETHEREUM:
+        h = eth_account(x3, y3, unroll=unroll)
+    elif fmt == AddressFormat.P2TR:
+        qx, ok = p2tr_output_key(x3, y3, extras[0], unroll=unroll)
+        h = u256.to_bytes_be(qx)
+    else:  # pragma: no cover
+        raise ValueError(f"interval path does not support {fmt}")
+    return bytes_be_words(h), ok
+
+
+def in_intervals(words, lo, hi):
+    """Lexicographic lo <= words <= hi over MAX_INTERVALS unrolled slots.
+
+    words: list of W (T,) uint32 rows; lo/hi: (MAX_INTERVALS, W) uint32
+    bound tables (jnp arrays or Pallas SMEM refs -- both index the same)."""
+    n = len(words)
+    matched = None
+    for j in range(MAX_INTERVALS):
+        ge = words[n - 1] >= lo[j, n - 1]
+        le = words[n - 1] <= hi[j, n - 1]
+        for w in range(n - 2, -1, -1):
+            lw = lo[j, w]
+            hw = hi[j, w]
+            ge = (words[w] > lw) | ((words[w] == lw) & ge)
+            le = (words[w] < hw) | ((words[w] == hw) & le)
+        hit = ge & le
+        matched = hit if matched is None else (matched | hit)
+    return matched
+
+
+def glv_interval_mask(fmt: AddressFormat, x3, y3, lo, hi,
+                      unroll: bool = False):
+    """6-bit GLV variant mask per key: bit 2v+s set iff variant s*λ^v
+    (s: 0=+, 1=-) of the key's point matches the intervals.
+
+    The 6 points are {x, βx, β²x} × {±y}.  For hash160 formats the ± pair is
+    exactly the two compressed-prefix parities, so y3 is never consulted
+    (pass None); Ethereum hashes full coordinates so y3 is required."""
+    from vgen_tpu.crypto import secp256k1 as ec
+
+    beta = u256.constant(ec.BETA, x3.shape[1:])
+    beta2 = u256.constant(ec.BETA2, x3.shape[1:])
+    ys = (y3, field.neg(y3)) if fmt == AddressFormat.ETHEREUM else None
+    mask = jnp.zeros(x3.shape[1:], dtype=jnp.int32)
+    for v, xv in enumerate((x3, field.mul(x3, beta), field.mul(x3, beta2))):
+        xb = u256.to_bytes_be(xv)
+        for pi in range(2):
+            if fmt == AddressFormat.ETHEREUM:
+                h = eth_account(xv, ys[pi], unroll=unroll)
+            else:
+                prefix = jnp.full(
+                    (1,) + xb.shape[1:], 2 + pi, dtype=jnp.uint32
+                )
+                h = encode.hash160_33(
+                    jnp.concatenate([prefix, xb], axis=0), unroll=unroll
+                )
+                if fmt == AddressFormat.P2SH_P2WPKH:
+                    h = script_hash(h, unroll=unroll)
+            m = in_intervals(bytes_be_words(h), lo, hi)
+            mask = mask | jnp.where(m, jnp.int32(1 << (2 * v + pi)), 0)
+    return mask
+
+
+def make_range_tail(fmt: AddressFormat, glv: bool = False):
+    """Interval-matching tail: (x3, y3, valid, lo, hi, remaining, *extras)
+    -> StepResult.  The XLA counterpart of the fused Pallas range kernel --
+    used on non-TPU backends and under shard_map on device meshes."""
+
+    def tail(x3, y3, valid, lo, hi, remaining, *extras):
+        B = x3.shape[1]
+        idx = jnp.arange(B, dtype=jnp.int32)
+        valid = valid & (idx < remaining)
+        if glv:
+            assert fmt in GLV_FORMATS, fmt
+            mask = glv_interval_mask(fmt, x3, y3, lo, hi)
+            matched = (mask > 0) & valid
+        else:
+            words, ok = interval_value_words(fmt, x3, y3, *extras)
+            if ok is not None:
+                valid = valid & ok
+            matched = in_intervals(words, lo, hi) & valid
+        count = jnp.sum(matched.astype(jnp.int32))
+        scores = jnp.where(matched, idx, jnp.int32(-1))
+        top, _ = jax.lax.top_k(scores, TOP_K)
+        ops = jnp.sum(valid.astype(jnp.int32)) * (6 if glv else 1)
+        return StepResult(count=count, indices=top, ops=ops)
+
+    return tail
+
+
+@functools.lru_cache(maxsize=16)
+def jitted_range_tail(fmt: AddressFormat, glv: bool = False):
+    return jax.jit(make_range_tail(fmt, glv))
+
+
+def run_range_scan_step(fmt, bx, by, tx, ty, lo, hi, remaining,
+                        extras=(), chain_len: int = 256, glv: bool = False):
+    """Convenience wrapper: shared points stage + interval tail."""
+    x3, y3, valid = jitted_points_step(chain_len)(bx, by, tx, ty)
+    return jitted_range_tail(fmt, glv)(
+        x3, y3, valid, jnp.asarray(lo), jnp.asarray(hi),
+        jnp.int32(remaining), *extras
+    )

@@ -6,10 +6,10 @@ defined but never ran on-device (sha256.wgsl:177-249).  Message schedules for
 our fixed-size inputs (33-byte pubkey, 25-byte address payload, 32-byte
 digests) are built with constant padding baked in.
 
-Structure: 4 fori_loop chunks x 16 unrolled rounds -- fully unrolling all 64
-rounds triples XLA compile time for zero runtime win (the rounds are
-sequentially dependent), while per-round dynamic indexing would thrash the
-sublane gather path.
+Structure: one round per fori_loop iteration under jit (rotating schedule
+buffer, dynamic K lookup), fully unrolled with scalar constants inside
+Pallas kernels (unroll=True) where Mosaic rejects captured arrays and the
+round chain is register-resident anyway.
 """
 
 from __future__ import annotations
@@ -50,36 +50,71 @@ def _rotr(x, n: int):
     return (x >> n) | (x << (32 - n))
 
 
-def compress(state, w):
+def compress(state, w, unroll: bool = False):
     """One SHA-256 compression: state (8,*B) or list, w list of 16 (*B,) words.
 
-    Fully unrolled (64 static rounds, scalar K constants): no captured
-    arrays (Pallas-safe), no dynamic indexing, and the sequential round
-    chain gains nothing from loop forms anyway.
+    unroll=True (Pallas kernels): 64 static rounds with scalar K constants
+    -- no captured arrays and no dynamic indexing (Mosaic rejects both).
+    unroll=False (jit/XLA, the default): one round per fori_loop iteration
+    with a rotating 16-word schedule buffer.  The unrolled form's 64-round
+    reconvergent DAG makes some XLA:CPU builds evaluate it as an expression
+    TREE (cost grows ~2.4x per round -- minutes per batch); the loop body
+    stays under that cliff and the sequential rounds can't be parallelized
+    anyway.
     Returns the new (8, *B) state (IV-added)."""
-    a, b, c, d, e, f, g, h = [state[i] for i in range(8)]
-    w = [w[i] for i in range(16)]
-    kflat = [int(v) for v in _K.reshape(-1)]
-    for t in range(64):
-        if t >= 16:
-            s0 = _rotr(w[(t - 15) % 16], 7) ^ _rotr(w[(t - 15) % 16], 18) ^ (
-                w[(t - 15) % 16] >> 3
-            )
-            s1 = _rotr(w[(t - 2) % 16], 17) ^ _rotr(w[(t - 2) % 16], 19) ^ (
-                w[(t - 2) % 16] >> 10
-            )
-            w[t % 16] = w[t % 16] + s0 + w[(t - 7) % 16] + s1
-        s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+    if unroll:
+        a, b, c, d, e, f, g, h = [state[i] for i in range(8)]
+        w = [w[i] for i in range(16)]
+        kflat = [int(v) for v in _K.reshape(-1)]
+        for t in range(64):
+            if t >= 16:
+                s0 = _rotr(w[(t - 15) % 16], 7) ^ _rotr(w[(t - 15) % 16], 18) ^ (
+                    w[(t - 15) % 16] >> 3
+                )
+                s1 = _rotr(w[(t - 2) % 16], 17) ^ _rotr(w[(t - 2) % 16], 19) ^ (
+                    w[(t - 2) % 16] >> 10
+                )
+                w[t % 16] = w[t % 16] + s0 + w[(t - 7) % 16] + s1
+            s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+            ch = (e & f) ^ (~e & g)
+            t1 = h + s1 + ch + jnp.uint32(kflat[t]) + w[t % 16]
+            s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+            maj = (a & b) ^ (a & c) ^ (b & c)
+            t2 = s0 + maj
+            h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
+        na = [
+            v + state[i] for i, v in enumerate([a, b, c, d, e, f, g, h])
+        ]
+        return jnp.stack(na)
+
+    kvec = jnp.asarray(_K.reshape(-1))
+    st0 = jnp.stack([state[i] for i in range(8)])
+    # rotating schedule buffer: at round t, buf[i] = w[t-16+i] (mod history);
+    # rounds 0-15 pop buf[0] and push it back unchanged, so at round 16 the
+    # buffer again holds w[0..15] and the recurrence
+    # w[t] = w[t-16] + s0(w[t-15]) + w[t-7] + s1(w[t-2]) reads static slots
+    # buf[0], buf[1], buf[9], buf[14].
+    buf0 = jnp.stack([w[i] for i in range(16)])
+
+    def round_body(t, carry):
+        stv, buf = carry
+        a, b, c, d, e, f, g, h = [stv[i] for i in range(8)]
+        s0 = _rotr(buf[1], 7) ^ _rotr(buf[1], 18) ^ (buf[1] >> 3)
+        s1 = _rotr(buf[14], 17) ^ _rotr(buf[14], 19) ^ (buf[14] >> 10)
+        wnew = buf[0] + s0 + buf[9] + s1
+        wt = jnp.where(t < 16, buf[0], wnew)
+        S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
-        t1 = h + s1 + ch + jnp.uint32(kflat[t]) + w[t % 16]
-        s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+        t1 = h + S1 + ch + kvec[t] + wt
+        S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
         maj = (a & b) ^ (a & c) ^ (b & c)
-        t2 = s0 + maj
-        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
-    na = [
-        v + state[i] for i, v in enumerate([a, b, c, d, e, f, g, h])
-    ]
-    return jnp.stack(na)
+        t2 = S0 + maj
+        nst = jnp.stack([t1 + t2, a, b, c, d + t1, e, f, g])
+        nbuf = jnp.concatenate([buf[1:], wt[None]], axis=0)
+        return nst, nbuf
+
+    stv, _ = jax.lax.fori_loop(0, 64, round_body, (st0, buf0))
+    return stv + st0
 
 
 def initial_state(batch_shape):
@@ -113,14 +148,15 @@ def words_from_bytes(data, msg_len: int):
     return w
 
 
-def sha256_bytes(data, msg_len: int):
+def sha256_bytes(data, msg_len: int, unroll: bool = False):
     """SHA-256 of fixed-length (<= 55 byte) messages: (L,*B) bytes -> (32,*B)."""
     B = data.shape[1:]
-    st = compress(initial_state(B), words_from_bytes(data, msg_len))
+    st = compress(initial_state(B), words_from_bytes(data, msg_len),
+                  unroll=unroll)
     return state_to_bytes(st)
 
 
-def sha256_bytes_2block(data, msg_len: int):
+def sha256_bytes_2block(data, msg_len: int, unroll: bool = False):
     """SHA-256 for 56 <= msg_len <= 119 byte messages (two blocks).
 
     Needed for the 65-byte uncompressed pubkey (P2PKH-uncompressed path,
@@ -139,7 +175,7 @@ def sha256_bytes_2block(data, msg_len: int):
             )
             word = (word << 8) | byte
         w1.append(word)
-    st = compress(initial_state(B), w1)
+    st = compress(initial_state(B), w1, unroll=unroll)
     # block 2: remaining bytes + pad + length
     w2 = []
     bits = msg_len * 8
@@ -157,7 +193,7 @@ def sha256_bytes_2block(data, msg_len: int):
                 byte = zero
             word = (word << 8) | byte
         w2.append(word)
-    return state_to_bytes(compress(st, w2))
+    return state_to_bytes(compress(st, w2, unroll=unroll))
 
 
 def state_to_bytes(state):
@@ -169,9 +205,10 @@ def state_to_bytes(state):
     return jnp.stack(out)
 
 
-def double_sha256_bytes(data, msg_len: int):
+def double_sha256_bytes(data, msg_len: int, unroll: bool = False):
     """SHA256(SHA256(msg)) for msg_len <= 55 (checksum path)."""
-    return sha256_bytes(sha256_bytes(data, msg_len), 32)
+    return sha256_bytes(sha256_bytes(data, msg_len, unroll=unroll), 32,
+                        unroll=unroll)
 
 
 def tagged_midstate(tag: str) -> np.ndarray:
@@ -217,7 +254,7 @@ def tagged_midstate(tag: str) -> np.ndarray:
     )
 
 
-def tagged_hash_32(midstate: np.ndarray, data32):
+def tagged_hash_32(midstate: np.ndarray, data32, unroll: bool = False):
     """SHA256 tagged hash of a 32-byte payload given the tag midstate.
 
     Message is tag32||tag32||data32 = 96 bytes; block 2 = data32 + padding."""
@@ -236,4 +273,4 @@ def tagged_hash_32(midstate: np.ndarray, data32):
     st = jnp.stack(
         [jnp.full(tuple(B), int(v), dtype=U32) for v in np.asarray(midstate)]
     )
-    return state_to_bytes(compress(st, w))
+    return state_to_bytes(compress(st, w, unroll=unroll))

@@ -85,6 +85,52 @@ def _sharded_step(fmt: AddressFormat, n_devices: int, chain_len: int,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=8)
+def _sharded_range_step(fmt: AddressFormat, glv: bool, n_devices: int,
+                        chain_len: int, has_extras: bool, mesh_key: int):
+    """shard_map'd interval-matching step (pattern/intervals.py fast path +
+    optional GLV 6-keys-per-add expansion) -- same mesh layout as
+    _sharded_step, with the lo/hi interval bound tables replicated."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from vgen_tpu.ops import curve, pipeline
+
+    mesh = _MESHES[mesh_key]
+    tail = pipeline.make_range_tail(fmt, glv)
+
+    def local_step(bx, by, tx, ty, lo, hi, remaining, *extras):
+        x3, y3, valid = curve.batch_affine_add(
+            bx[0], by[0], tx, ty, chain_len=chain_len
+        )
+        res = tail(x3, y3, valid, lo, hi, remaining[0], *extras)
+        total_count = jax.lax.psum(res.count, "d")
+        total_ops = jax.lax.psum(res.ops, "d")
+        return (
+            res.count[None],
+            res.indices[None],
+            res.ops[None],
+            total_count,
+            total_ops,
+        )
+
+    extra_specs = (P(),) if has_extras else ()
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(P("d"), P("d"), P(), P(), P(), P(), P("d")) + extra_specs,
+        out_specs=(P("d"), P("d"), P("d"), P(), P()),
+    )
+    try:
+        fn = shard_map(local_step, check_vma=False, **kwargs)
+    except TypeError:
+        fn = shard_map(local_step, check_rep=False, **kwargs)
+    return jax.jit(fn)
+
+
 _MESHES = {}
 
 
@@ -143,21 +189,21 @@ class MeshScanner:
         return bx, by
 
     def run_super_batch(self, pattern: Pattern, base_scalar: int,
-                        remaining_total: Optional[int] = None):
+                        remaining_total: Optional[int] = None,
+                        allow_glv: bool = False):
         """Scan keys [base_scalar+1, base_scalar + N*B] across the mesh.
 
-        Returns (per_dev_counts (N,), per_dev_indices (N,K), total_count,
-        total_ops) as numpy."""
+        Interval-compilable patterns take the range-compare fast path; with
+        allow_glv (random scans) GLV-capable formats check the 6
+        endomorphism variants per position (self.glv_active records the
+        choice -- the caller must then re-derive all variants of an index).
+
+        Returns (per_dev_counts (N,), per_dev_indices (N,K), per_dev_ops,
+        total_count, total_ops) as numpy."""
         import jax.numpy as jnp
 
         from vgen_tpu.ops import pipeline
 
-        dev_dfa = pattern.device_dfa(self.fmt)
-        flat, accept = pipeline.pad_device_dfa(dev_dfa)
-        step = _sharded_step(
-            self.fmt, self.n_devices, self.chain_len, bool(self.extras),
-            self._mesh_key,
-        )
         base_scalars = [
             base_scalar + d * self.batch for d in range(self.n_devices)
         ]
@@ -169,17 +215,42 @@ class MeshScanner:
                 max(0, min(self.batch, remaining_total - d * self.batch))
                 for d in range(self.n_devices)
             ]
-        counts, indices, ops, total_count, total_ops = step(
-            bx,
-            by,
-            self.tx,
-            self.ty,
-            jnp.asarray(flat),
-            jnp.asarray(accept),
-            jnp.int32(dev_dfa.start),
-            jnp.asarray(rem, dtype=jnp.int32),
-            *self.extras,
-        )
+        rem = jnp.asarray(rem, dtype=jnp.int32)
+
+        ivs = pattern.match_intervals(self.fmt)
+        self.glv_active = False
+        if ivs is not None:
+            glv = allow_glv and self.fmt in pipeline.GLV_FORMATS
+            self.glv_active = glv
+            lo, hi = pipeline.intervals_to_words(
+                ivs, pipeline.INTERVAL_WORDS[self.fmt]
+            )
+            step = _sharded_range_step(
+                self.fmt, glv, self.n_devices, self.chain_len,
+                bool(self.extras), self._mesh_key,
+            )
+            counts, indices, ops, total_count, total_ops = step(
+                bx, by, self.tx, self.ty,
+                jnp.asarray(lo), jnp.asarray(hi), rem, *self.extras,
+            )
+        else:
+            dev_dfa = pattern.device_dfa(self.fmt)
+            flat, accept = pipeline.pad_device_dfa(dev_dfa)
+            step = _sharded_step(
+                self.fmt, self.n_devices, self.chain_len, bool(self.extras),
+                self._mesh_key,
+            )
+            counts, indices, ops, total_count, total_ops = step(
+                bx,
+                by,
+                self.tx,
+                self.ty,
+                jnp.asarray(flat),
+                jnp.asarray(accept),
+                jnp.int32(dev_dfa.start),
+                rem,
+                *self.extras,
+            )
         return (
             np.asarray(counts),
             np.asarray(indices),
@@ -228,7 +299,7 @@ class MeshScanner:
             base_scalar = next_key - 1
             remaining = end_key - next_key + 1 if is_range else None
             counts, indices, ops, total_count, ops_sum = self.run_super_batch(
-                pattern, base_scalar, remaining
+                pattern, base_scalar, remaining, allow_glv=not is_range
             )
             batches += 1
             total_ops += ops_sum
@@ -237,12 +308,19 @@ class MeshScanner:
                     for idx in sorted(int(i) for i in indices[d] if i >= 0):
                         if len(matches) >= target:
                             break
-                        key = base_scalar + d * self.batch + 1 + idx
+                        key0 = base_scalar + d * self.batch + 1 + idx
+                        cands = (
+                            ec.glv_variant_keys(key0)
+                            if self.glv_active else [key0]
+                        )
                         from vgen_tpu.scan.scanner import _derive_checked
 
-                        ga = _derive_checked(key, self.fmt, gen)
-                        if ga is not None and pattern.matches(ga.address):
-                            matches.append(ga)
+                        for key in cands:
+                            if len(matches) >= target:
+                                break
+                            ga = _derive_checked(key, self.fmt, gen)
+                            if ga is not None and pattern.matches(ga.address):
+                                matches.append(ga)
             if progress_callback:
                 progress_callback(total_ops)
             next_key += stride

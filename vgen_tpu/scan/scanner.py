@@ -183,7 +183,7 @@ class DeviceScanner:
         if self.device.platform not in ("cpu",):
             from vgen_tpu.ops import pallas_fused
 
-            if config.format in pallas_fused.FUSED_FORMATS:
+            if config.format in pallas_fused.RANGE_FORMATS:
                 ivs = pattern.match_intervals(config.format)
                 if ivs is not None:
                     # GLV: random scans may substitute any of the 6
@@ -202,7 +202,8 @@ class DeviceScanner:
                         k_sub=k_sub, glv=glv,
                     )
                     fused_kind = "range"
-                elif accept.shape[0] <= 256:
+                elif (config.format in pallas_fused.FUSED_FORMATS
+                      and accept.shape[0] <= 256):
                     S = accept.shape[0]
                     fused_step = pallas_fused.fused_scan_step(
                         config.format, self.batch, S, self.chain_len,
@@ -215,6 +216,24 @@ class DeviceScanner:
                         accept.astype(np.float32).reshape(S, 1)
                     )
                     fused_kind = "dfa"
+
+        # XLA interval path: the same anchored-prefix specialization (and
+        # GLV expansion) without Mosaic -- CPU fallback, and formats with no
+        # fused kernel (P2TR, whose windowed TapTweak lives in the XLA tail).
+        xla_range = False
+        if fused_step is None:
+            ivs = pattern.match_intervals(config.format)
+            if ivs is not None:
+                glv = (
+                    config.start is None
+                    and config.format in pipeline.GLV_FORMATS
+                )
+                lo_np, hi_np = pipeline.intervals_to_words(
+                    ivs, pipeline.INTERVAL_WORDS[config.format]
+                )
+                lo_w = jnp.asarray(lo_np)
+                hi_w = jnp.asarray(hi_np)
+                xla_range = True
 
         is_range = config.start is not None
         ckpt = config.checkpoint if is_range else None
@@ -292,19 +311,27 @@ class DeviceScanner:
                     )
             else:
                 bx, by = self._base_limbs(base_scalars[0])
-                res = pipeline.run_scan_step(
-                    config.format,
-                    bx,
-                    by,
-                    self.tx,
-                    self.ty,
-                    dfa_flat,
-                    dfa_accept,
-                    dev_dfa.start,
-                    remainings[0],
-                    extras=self.extras,
-                    chain_len=self.chain_len,
-                )
+                if xla_range:
+                    res = pipeline.run_range_scan_step(
+                        config.format, bx, by, self.tx, self.ty,
+                        lo_w, hi_w, remainings[0],
+                        extras=self.extras, chain_len=self.chain_len,
+                        glv=glv,
+                    )
+                else:
+                    res = pipeline.run_scan_step(
+                        config.format,
+                        bx,
+                        by,
+                        self.tx,
+                        self.ty,
+                        dfa_flat,
+                        dfa_accept,
+                        dev_dfa.start,
+                        remainings[0],
+                        extras=self.extras,
+                        chain_len=self.chain_len,
+                    )
                 packed = pipeline.pack_result(res)[None]
             inflight.append((base_scalars, packed))
             nk = next_key + self.batch * n_sub
