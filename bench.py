@@ -7,7 +7,7 @@ Baseline: the reference's best-case GPU rate of 2M keys/s (README.md:176,
 BASELINE.md).  Config mirrors BASELINE.json's headline: P2PKH prefix scan
 "^1C" -- full keygen -> hash160 -> Base58Check -> regex pipeline per key.
 
-Env knobs: VGEN_BENCH_BATCH (default 262144), VGEN_BENCH_SECONDS (default 10),
+Env knobs: VGEN_BENCH_BATCH (default 524288), VGEN_BENCH_SECONDS (default 10),
 VGEN_BENCH_PATTERN (default "^1C").
 """
 
@@ -27,10 +27,10 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    batch = int(os.environ.get("VGEN_BENCH_BATCH", 262_144))
+    batch = int(os.environ.get("VGEN_BENCH_BATCH", 524_288))
     seconds = float(os.environ.get("VGEN_BENCH_SECONDS", 10))
     pattern = os.environ.get("VGEN_BENCH_PATTERN", "^1C")
-    chain = int(os.environ.get("VGEN_BENCH_CHAIN", 256))
+    chain = int(os.environ.get("VGEN_BENCH_CHAIN", 1024))
     k_sub = int(os.environ.get("VGEN_BENCH_KSUB", 8))
 
     from vgen_tpu.crypto.address import AddressFormat

@@ -419,14 +419,21 @@ def interval_value_words(fmt: AddressFormat, x3, y3, *extras,
     return bytes_be_words(h), ok
 
 
-def in_intervals(words, lo, hi):
-    """Lexicographic lo <= words <= hi over MAX_INTERVALS unrolled slots.
+def interval_slot_count(n_ivs: int) -> int:
+    """Slots to compile for n_ivs intervals: next power of two (compile-cache
+    friendly), capped at MAX_INTERVALS.  Most anchored prefixes need 1-2
+    slots; always comparing all 8 wastes ~5% of the GLV kernel."""
+    return min(MAX_INTERVALS, max(1, 1 << (n_ivs - 1).bit_length()))
 
-    words: list of W (T,) uint32 rows; lo/hi: (MAX_INTERVALS, W) uint32
-    bound tables (jnp arrays or Pallas SMEM refs -- both index the same)."""
+
+def in_intervals(words, lo, hi):
+    """Lexicographic lo <= words <= hi over the (static) slot dimension.
+
+    words: list of W (T,) uint32 rows; lo/hi: (n_slots, W) uint32 bound
+    tables (jnp arrays or Pallas SMEM refs -- both index the same)."""
     n = len(words)
     matched = None
-    for j in range(MAX_INTERVALS):
+    for j in range(lo.shape[0]):
         ge = words[n - 1] >= lo[j, n - 1]
         le = words[n - 1] <= hi[j, n - 1]
         for w in range(n - 2, -1, -1):

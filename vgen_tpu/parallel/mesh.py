@@ -223,7 +223,8 @@ class MeshScanner:
             glv = allow_glv and self.fmt in pipeline.GLV_FORMATS
             self.glv_active = glv
             lo, hi = pipeline.intervals_to_words(
-                ivs, pipeline.INTERVAL_WORDS[self.fmt]
+                ivs, pipeline.INTERVAL_WORDS[self.fmt],
+                n_slots=pipeline.interval_slot_count(len(ivs)),
             )
             step = _sharded_range_step(
                 self.fmt, glv, self.n_devices, self.chain_len,

@@ -26,9 +26,12 @@ from vgen_tpu.crypto import secp256k1 as ec
 from vgen_tpu.crypto.address import AddressFormat, AddressGenerator, GeneratedAddress
 from vgen_tpu.pattern import Pattern
 
-DEFAULT_DEVICE_BATCH = 262_144  # keys per dispatch (sweepable; gpu.rs:83 uses 512K)
+# keys per dispatch + inversion-chain length: best of the TPU v5e sweep
+# (batch {256K: 59.9, 512K: 63.3, 1M: 58.9} Mkeys/s; chain {256: 63.3,
+# 512: 65.3, 1024: 65.7, 2048: 64.8} at 512K).  gpu.rs:83 uses 512K too.
+DEFAULT_DEVICE_BATCH = 524_288
 DEFAULT_CPU_BATCH = 10_000
-CHAIN_LEN = 256
+CHAIN_LEN = 1024
 
 ProgressCallback = Callable[[int], None]
 
@@ -194,7 +197,9 @@ class DeviceScanner:
                         config.start is None
                         and config.format in pallas_fused.GLV_FORMATS
                     )
-                    lo_np, hi_np = pallas_fused.intervals_to_words(ivs)
+                    lo_np, hi_np = pallas_fused.intervals_to_words(
+                        ivs, n_slots=pipeline.interval_slot_count(len(ivs))
+                    )
                     lo_w = jnp.asarray(lo_np)
                     hi_w = jnp.asarray(hi_np)
                     fused_step = pallas_fused.fused_range_scan_step(
@@ -229,7 +234,8 @@ class DeviceScanner:
                     and config.format in pipeline.GLV_FORMATS
                 )
                 lo_np, hi_np = pipeline.intervals_to_words(
-                    ivs, pipeline.INTERVAL_WORDS[config.format]
+                    ivs, pipeline.INTERVAL_WORDS[config.format],
+                    n_slots=pipeline.interval_slot_count(len(ivs)),
                 )
                 lo_w = jnp.asarray(lo_np)
                 hi_w = jnp.asarray(hi_np)
