@@ -97,12 +97,72 @@ def _fold512(prod):
     return normalize_weak_to_canonical(r4)
 
 
+def _fold_cols(cols):
+    """Fused mod-p fold of RAW schoolbook column accumulators.
+
+    cols: (32, *B) unpropagated columns, each < 2^22 (mul_cols/square_cols
+    bound).  Folds hi*(2^32 + 977) into the low columns BEFORE any carry
+    pass, so one 19-limb chain replaces _fold512's separate 32-limb product
+    chain + 19-limb fold chain.  Column bound check: 977*2^22 + 2*2^22 =
+    4.11e9 < 2^32.  Returns a WEAK value in [0, 2^256) (== mod p, possibly
+    >= p); callers needing canonical apply normalize_weak_to_canonical.
+
+    Chain steps: 19 + 17 + 16 + 3 = 55 vs _fold512-after-mul_wide's
+    32 + 19 + 17 + 16 + 16 = 100.
+    """
+    n = NLIMBS
+    c977 = jnp.uint32(_C)
+    # fold 1: value = lo_cols + hi_cols*(2^32 + 977) < 2^295 -> 19 limbs
+    c1 = []
+    for i in range(n):
+        v = cols[i] + cols[n + i] * c977
+        if i >= 2:
+            v = v + cols[n - 2 + i]
+        c1.append(v)
+    c1.append(cols[30])
+    c1.append(cols[31])
+    c1.append(jnp.zeros_like(cols[0]))
+    r1, _ = u256.carry_propagate(c1, n + 3)
+    # fold 2: hi1 = r1[16:19] < 2^39; value < 2^256 + 2^72 -> 17 limbs
+    c2 = [r1[i] for i in range(n)] + [jnp.zeros_like(r1[0])]
+    for j in range(3):
+        c2[j] = c2[j] + r1[n + j] * c977
+        c2[j + 2] = c2[j + 2] + r1[n + j]
+    r2, _ = u256.carry_propagate(c2, n + 1)
+    # fold 3: hi2 = r2[16] in {0,1}
+    hi2 = r2[n]
+    c3 = [r2[i] for i in range(n)]
+    c3[0] = c3[0] + hi2 * c977
+    c3[2] = c3[2] + hi2
+    r3, carry3 = u256.carry_propagate(c3, n)
+    # fold 4: carry3 in {0,1}, and nonzero only when r3 < 2^34 -- the carry
+    # chain dies within 3 limbs, so a short tail replaces a full pass
+    t0 = r3[0] + carry3 * c977
+    t1 = r3[1] + (t0 >> LIMB_BITS)
+    t2 = r3[2] + carry3 + (t1 >> LIMB_BITS)
+    # t2 < 2^16 in both carry3 cases (r3[2] <= 3 when carry3 == 1), so no
+    # carry escapes limb 2
+    return jnp.concatenate(
+        [(t0 & LIMB_MASK)[None], (t1 & LIMB_MASK)[None], t2[None], r3[3:]],
+        axis=0,
+    )
+
+
+def mul_weak(a, b):
+    """a*b mod p, WEAK output in [0, 2^256).  Inputs may be weak too."""
+    return _fold_cols(u256.mul_cols(a, b))
+
+
+def square_weak(a):
+    return _fold_cols(u256.square_cols(a))
+
+
 def mul(a, b):
-    return _fold512(u256.mul_wide(a, b))
+    return normalize_weak_to_canonical(mul_weak(a, b))
 
 
 def square(a):
-    return _fold512(u256.square_wide(a))
+    return normalize_weak_to_canonical(square_weak(a))
 
 
 def mul_small(a, k: int):
@@ -136,12 +196,13 @@ def pow_const(a, exponent: int):
     )
 
     def body(i, r):
-        r = square(r)
-        rm = mul(r, a)
+        r = square_weak(r)
+        rm = mul_weak(r, a)
         return u256.select(bits[i] == 1, rm, r)
 
-    # MSB is always 1: start at r = a, consume remaining bits
-    return jax.lax.fori_loop(1, nbits, body, a)
+    # MSB is always 1: start at r = a, consume remaining bits.  Intermediates
+    # stay weak (< 2^256); only the final value is normalized.
+    return normalize_weak_to_canonical(jax.lax.fori_loop(1, nbits, body, a))
 
 
 def inv(a):
@@ -157,27 +218,30 @@ def inv(a):
     def sqn(x, n):
         if n <= 2:
             for _ in range(n):
-                x = square(x)
+                x = square_weak(x)
             return x
-        return jax.lax.fori_loop(0, n, lambda _, v: square(v), x)
+        return jax.lax.fori_loop(0, n, lambda _, v: square_weak(v), x)
 
+    # the whole chain runs on weak (< 2^256) representatives; one final
+    # normalize (inv callers feed the result into mul, which accepts weak,
+    # but canonical output keeps the field API uniform)
     x1 = a
-    x2 = mul(sqn(x1, 1), x1)
-    x3 = mul(sqn(x2, 1), x1)
-    x6 = mul(sqn(x3, 3), x3)
-    x9 = mul(sqn(x6, 3), x3)
-    x11 = mul(sqn(x9, 2), x2)
-    x22 = mul(sqn(x11, 11), x11)
-    x44 = mul(sqn(x22, 22), x22)
-    x88 = mul(sqn(x44, 44), x44)
-    x176 = mul(sqn(x88, 88), x88)
-    x220 = mul(sqn(x176, 44), x44)
-    x223 = mul(sqn(x220, 3), x3)
-    t = mul(sqn(x223, 23), x22)
-    t = mul(sqn(t, 5), x1)
-    t = mul(sqn(t, 3), x2)
-    t = mul(sqn(t, 2), x1)
-    return t
+    x2 = mul_weak(sqn(x1, 1), x1)
+    x3 = mul_weak(sqn(x2, 1), x1)
+    x6 = mul_weak(sqn(x3, 3), x3)
+    x9 = mul_weak(sqn(x6, 3), x3)
+    x11 = mul_weak(sqn(x9, 2), x2)
+    x22 = mul_weak(sqn(x11, 11), x11)
+    x44 = mul_weak(sqn(x22, 22), x22)
+    x88 = mul_weak(sqn(x44, 44), x44)
+    x176 = mul_weak(sqn(x88, 88), x88)
+    x220 = mul_weak(sqn(x176, 44), x44)
+    x223 = mul_weak(sqn(x220, 3), x3)
+    t = mul_weak(sqn(x223, 23), x22)
+    t = mul_weak(sqn(t, 5), x1)
+    t = mul_weak(sqn(t, 3), x2)
+    t = mul_weak(sqn(t, 2), x1)
+    return normalize_weak_to_canonical(t)
 
 
 def batch_inverse_chain(values, chain_axis: int = 0):
@@ -194,7 +258,7 @@ def batch_inverse_chain(values, chain_axis: int = 0):
     ones = u256.constant(1, values.shape[2:])
 
     def fwd(carry, v):
-        nxt = mul(carry, v)
+        nxt = mul_weak(carry, v)
         return nxt, nxt
 
     _, prefix = jax.lax.scan(fwd, ones, vals_t)  # prefix[k] = v0*..*vk
@@ -203,11 +267,12 @@ def batch_inverse_chain(values, chain_axis: int = 0):
 
     def bwd(acc, xs):
         v, pex = xs
-        inv_k = mul(acc, pex)
-        return mul(acc, v), inv_k
+        inv_k = mul_weak(acc, pex)
+        return mul_weak(acc, v), inv_k
 
     _, invs = jax.lax.scan(bwd, total_inv, (vals_t, prefix_excl), reverse=True)
-    return jnp.moveaxis(invs, 0, 1)
+    # chain intermediates stay weak; one normalize for the canonical API
+    return normalize_weak_to_canonical(jnp.moveaxis(invs, 0, 1))
 
 
 def to_canonical_int_check(a) -> bool:

@@ -195,14 +195,13 @@ def _antidiag_matrices(n: int):
     return S0, S1
 
 
-def mul_wide(a, b):
-    """Full 256x256 -> 512-bit product: (16,*B) x (16,*B) -> (32,*B).
+def mul_cols(a, b):
+    """Raw 256x256 schoolbook columns: (16,*B) x (16,*B) -> (32,*B)
+    UNPROPAGATED column accumulators, each < 32*2^16 = 2^21.
 
-    One (16,16,*B) outer product, two MXU matmuls for the column sums, one
-    carry pass.  (The reference's device equivalent is fe_mul's 8x8 u32
-    schoolbook with hand-split mul32, shaders/field.wgsl:110-167 -- the
-    16-bit-limb choice makes every partial product a single native uint32
-    multiply with no mulhi emulation.)
+    Callers either carry_propagate to a clean 512-bit product (mul_wide) or
+    feed the columns straight into a fused mod-p fold (field._fold_cols),
+    which skips one full 32-limb carry chain per multiply.
     """
     n = a.shape[0]
     assert n == NLIMBS
@@ -213,14 +212,12 @@ def mul_wide(a, b):
         lo = p & LIMB_MASK
         hi = p >> LIMB_BITS
         S0, S1 = _antidiag_matrices(n)
-        cols = f32_to_u32(
+        return f32_to_u32(
             jnp.dot(S0, u32_to_f32(lo).reshape(n * n, -1),
                     preferred_element_type=jnp.float32)
             + jnp.dot(S1, u32_to_f32(hi).reshape(n * n, -1),
                       preferred_element_type=jnp.float32)
         ).reshape((2 * n,) + batch_shape)
-        prod, _ = carry_propagate([cols[k] for k in range(2 * n)], 2 * n)
-        return prod
     # TPU f32 matmuls are single-pass bf16 (XLA DEFAULT precision and
     # Mosaic's jnp.dot alike): only integers <= 256 survive exactly, so a
     # dot formulation needs FOUR byte planes -- 4x (256, W) f32 of HBM
@@ -253,14 +250,36 @@ def mul_wide(a, b):
         contrib = shifted(q & LIMB_MASK, j) + shifted(q >> LIMB_BITS, j + 1)
         acc = contrib if acc is None else acc + contrib
     # each column: <= 16 lo-halves + 16 hi-halves, all < 2^16 -> < 2^21
-    prod, _ = carry_propagate([acc[k] for k in range(2 * n)], 2 * n)
+    return acc
+
+
+def mul_wide(a, b):
+    """Full 256x256 -> 512-bit product: (16,*B) x (16,*B) -> (32,*B).
+
+    Schoolbook columns (mul_cols) plus one carry pass.  (The reference's
+    device equivalent is fe_mul's 8x8 u32 schoolbook with hand-split mul32,
+    shaders/field.wgsl:110-167 -- the 16-bit-limb choice makes every partial
+    product a single native uint32 multiply with no mulhi emulation.)
+    """
+    acc = mul_cols(a, b)
+    prod, _ = carry_propagate([acc[k] for k in range(2 * NLIMBS)], 2 * NLIMBS)
     return prod
 
 
+def square_cols(a):
+    """Raw squaring columns: (16,*B) -> (32,*B) UNPROPAGATED accumulators.
+
+    Currently mul_cols(a, a): the symmetry trick halves multiplies but the
+    accumulate adds dominate VPU op count, so it bought ~5% at a compile-size
+    cost when measured -- revisit with tree accumulation."""
+    return mul_cols(a, a)
+
+
 def square_wide(a):
-    """a*a -> (32,*B) (same path as mul_wide; the symmetry trick trades
-    fewer multiplies for more traced ops, a bad deal for compile size)."""
-    return mul_wide(a, a)
+    """a*a -> (32,*B) full product."""
+    acc = square_cols(a)
+    prod, _ = carry_propagate([acc[k] for k in range(2 * NLIMBS)], 2 * NLIMBS)
+    return prod
 
 
 def mul_wide_unrolled(a, b):
