@@ -28,9 +28,15 @@ def affine_add_batch(bx, by, tx, ty, inv_dx):
     All args (16, *batch).  Caller guarantees tx != bx via masking.
     2 muls + 1 square per element beyond the shared batch inversion.
     """
-    lam = field.mul(field.sub(ty, by), inv_dx)
-    x3 = field.sub(field.sub(field.square(lam), bx), tx)
-    y3 = field.sub(field.mul(lam, field.sub(bx, x3)), by)
+    # weak-value chain: sub() tolerates a weak (< 2^256) first argument, so
+    # only x3/y3 pay a canonicalizing subtract (lam/square stay weak)
+    lam = field.mul_weak(field.sub(ty, by), inv_dx)
+    x3 = field.normalize_weak_to_canonical(
+        field.sub(field.sub(field.square_weak(lam), bx), tx)
+    )
+    y3 = field.normalize_weak_to_canonical(
+        field.sub(field.mul_weak(lam, field.sub(bx, x3)), by)
+    )
     return x3, y3
 
 

@@ -79,10 +79,13 @@ def base58check_symbols(payload21, basis=None, unroll: bool = False):
     (leading-zero-digits - leading-zero-bytes) so the emitted symbol string
     equals the canonical minimal encoding ('1' per leading zero byte).
     """
-    B = payload21.shape[1:]
     check = dev_sha.double_sha256_bytes(payload21, 21, unroll=unroll)[:4]
     payload = jnp.concatenate([payload21, check], axis=0)  # (25, *B)
+    return _base58_from_payload25(payload, basis)
 
+
+def _base58_from_payload25(payload, basis=None):
+    B = payload.shape[1:]
     # DEFAULT (bf16) precision is exact here: both operands are integers
     # < 256 (bf16-exact) and accumulation is f32.  `basis` is injectable so
     # Pallas kernels can pass it as an input (no captured array literals).
@@ -257,4 +260,79 @@ def hash160_22(script22, unroll: bool = False):
 def hash160_65(pubkey65, unroll: bool = False):
     return dev_ripemd.ripemd160_digest32(
         dev_sha.sha256_bytes_2block(pubkey65, 65, unroll=unroll)
+    )
+
+
+def hash160_33_words_from_x(x_limbs, parity):
+    """5 BIG-endian u32 word rows of hash160(parity_byte || x_be32), built
+    straight from (16,*B) 16-bit limbs via the partial-evaluated word path
+    (no byte materialization anywhere).  parity: int 2/3 or traced row.
+
+    Fully-unrolled: intended for Pallas kernels and XLA:TPU tails; the
+    byte-level hash160_33 remains for fori_loop-friendly XLA:CPU paths."""
+    return dev_ripemd.ripemd160_sha_state_words(
+        dev_sha.sha256_x33_state(x_limbs, parity)
+    )
+
+
+def words_to_bytes_be(wlist):
+    """list of W traced u32 word rows -> (4W, *B) big-endian byte rows."""
+    rows = []
+    for w in wlist:
+        rows += [
+            w >> 24,
+            (w >> 16) & jnp.uint32(0xFF),
+            (w >> 8) & jnp.uint32(0xFF),
+            w & jnp.uint32(0xFF),
+        ]
+    return jnp.stack(rows)
+
+
+def base58check_checksum_word(version: int, h160w):
+    """First u32 (big-endian) of SHA256d(version_byte || h160) -- the 4
+    Base58Check checksum bytes -- via the partial-evaluated word path."""
+    from vgen_tpu.ops import bitops as bo
+
+    w = [bo.or2(bo.shl(version, 24), bo.shr(h160w[0], 8))]
+    for i in range(1, 5):
+        w.append(
+            bo.or2(
+                bo.shl(bo.and2(h160w[i - 1], 0xFF), 24),
+                bo.shr(h160w[i], 8),
+            )
+        )
+    w.append(bo.or2(bo.shl(bo.and2(h160w[4], 0xFF), 24), 0x00800000))
+    w += [0, 0, 0, 0, 0, 0, 0, 0, 0, 168]
+    st = dev_sha.compress_pe(dev_sha.IV_INTS, w)
+    w2 = list(st) + [0x80000000, 0, 0, 0, 0, 0, 0, 256]
+    return dev_sha.compress_pe(dev_sha.IV_INTS, w2)[0]
+
+
+def base58check_symbols_words(version: int, h160w, basis=None):
+    """base58check_symbols fed by h160 as 5 BE u32 word rows (word path:
+    checksum double-SHA never touches bytes; only the 25-byte basis-matmul
+    operand is materialized)."""
+    check = base58check_checksum_word(version, h160w)
+    byts = words_to_bytes_be(list(h160w) + [check])  # (24, *B)
+    vrow = jnp.full((1,) + byts.shape[1:], version, dtype=jnp.uint32)
+    return _base58_from_payload25(jnp.concatenate([vrow, byts], axis=0), basis)
+
+
+def script_hash_words(h160w):
+    """5 BE u32 words of hash160(0x00 0x14 || h160) -- the P2SH-P2WPKH
+    redeem-script hash -- from h160 as 5 BE u32 word rows (word path)."""
+    from vgen_tpu.ops import bitops as bo
+
+    w = [bo.or2(0x00140000, bo.shr(h160w[0], 16))]
+    for i in range(1, 5):
+        w.append(
+            bo.or2(
+                bo.shl(bo.and2(h160w[i - 1], 0xFFFF), 16),
+                bo.shr(h160w[i], 16),
+            )
+        )
+    w.append(bo.or2(bo.shl(bo.and2(h160w[4], 0xFFFF), 16), 0x8000))
+    w += [0, 0, 0, 0, 0, 0, 0, 0, 0, 176]
+    return dev_ripemd.ripemd160_sha_state_words(
+        dev_sha.compress_pe(dev_sha.IV_INTS, w)
     )

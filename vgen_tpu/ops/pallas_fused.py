@@ -307,8 +307,10 @@ def _ec_finish_x(bx, by, tx, ty, inv_dx):
     (skips y3), enough for GLV parity-pair matching."""
     dx = field.sub(tx, bx)
     valid = ~u256.is_zero(dx)
-    lam = field.mul(field.sub(ty, by), inv_dx)
-    x3 = field.sub(field.sub(field.square(lam), bx), tx)
+    lam = field.mul_weak(field.sub(ty, by), inv_dx)
+    x3 = field.normalize_weak_to_canonical(
+        field.sub(field.sub(field.square_weak(lam), bx), tx)
+    )
     return x3, valid
 
 

@@ -126,7 +126,17 @@ def _base58_payload(version: int, h160):
     return jnp.concatenate([v, h160], axis=0)
 
 
+def _h160_words_33(x, y):
+    """hash160 of the compressed pubkey as 5 BE u32 word rows (word path)."""
+    parity = 2 + (y[0] & jnp.uint32(1))
+    return encode.hash160_33_words_from_x(x, parity)
+
+
 def symbols_p2pkh(x, y, b58_basis=None, unroll=False):
+    if unroll:
+        return encode.base58check_symbols_words(
+            0, _h160_words_33(x, y), b58_basis
+        )
     h160 = encode.hash160_33(compressed_pubkey_bytes(x, y), unroll=unroll)
     return encode.base58check_symbols(
         _base58_payload(0, h160), b58_basis, unroll=unroll
@@ -141,11 +151,18 @@ def symbols_p2pkh_uncompressed(x, y, b58_basis=None, unroll=False):
 
 
 def symbols_p2wpkh(x, y, b58_basis=None, unroll=False):
-    h160 = encode.hash160_33(compressed_pubkey_bytes(x, y), unroll=unroll)
+    if unroll:
+        h160 = encode.words_to_bytes_be(_h160_words_33(x, y))
+    else:
+        h160 = encode.hash160_33(compressed_pubkey_bytes(x, y), unroll=unroll)
     return encode.segwit_symbols(h160, 0)
 
 
 def symbols_p2sh_p2wpkh(x, y, b58_basis=None, unroll=False):
+    if unroll:
+        return encode.base58check_symbols_words(
+            5, encode.script_hash_words(_h160_words_33(x, y)), b58_basis
+        )
     h160 = encode.hash160_33(compressed_pubkey_bytes(x, y), unroll=unroll)
     B = h160.shape[1:]
     script = jnp.concatenate(
@@ -401,10 +418,18 @@ def interval_value_words(fmt: AddressFormat, x3, y3, *extras,
     refinement for P2TR)."""
     ok = None
     if fmt in (AddressFormat.P2PKH, AddressFormat.P2WPKH):
+        if unroll:
+            parity = 2 + (y3[0] & jnp.uint32(1))
+            return encode.hash160_33_words_from_x(x3, parity), None
         h = encode.hash160_33(compressed_pubkey_bytes(x3, y3), unroll=unroll)
     elif fmt == AddressFormat.P2PKH_UNCOMPRESSED:
         h = encode.hash160_65(uncompressed_pubkey_bytes(x3, y3), unroll=unroll)
     elif fmt == AddressFormat.P2SH_P2WPKH:
+        if unroll:
+            parity = 2 + (y3[0] & jnp.uint32(1))
+            return encode.script_hash_words(
+                encode.hash160_33_words_from_x(x3, parity)
+            ), None
         h = script_hash(
             encode.hash160_33(compressed_pubkey_bytes(x3, y3), unroll=unroll),
             unroll=unroll,
@@ -461,10 +486,18 @@ def glv_interval_mask(fmt: AddressFormat, x3, y3, lo, hi,
     ys = (y3, field.neg(y3)) if fmt == AddressFormat.ETHEREUM else None
     mask = jnp.zeros(x3.shape[1:], dtype=jnp.int32)
     for v, xv in enumerate((x3, field.mul(x3, beta), field.mul(x3, beta2))):
-        xb = u256.to_bytes_be(xv)
+        xb = None if unroll else u256.to_bytes_be(xv)
         for pi in range(2):
             if fmt == AddressFormat.ETHEREUM:
                 h = eth_account(xv, ys[pi], unroll=unroll)
+            elif unroll:
+                # word path: int parity folds into the schedule constant
+                words = encode.hash160_33_words_from_x(xv, 2 + pi)
+                if fmt == AddressFormat.P2SH_P2WPKH:
+                    words = encode.script_hash_words(words)
+                m = in_intervals(words, lo, hi)
+                mask = mask | jnp.where(m, jnp.int32(1 << (2 * v + pi)), 0)
+                continue
             else:
                 prefix = jnp.full(
                     (1,) + xb.shape[1:], 2 + pi, dtype=jnp.uint32

@@ -63,29 +63,7 @@ def compress(state, w, unroll: bool = False):
     anyway.
     Returns the new (8, *B) state (IV-added)."""
     if unroll:
-        a, b, c, d, e, f, g, h = [state[i] for i in range(8)]
-        w = [w[i] for i in range(16)]
-        kflat = [int(v) for v in _K.reshape(-1)]
-        for t in range(64):
-            if t >= 16:
-                s0 = _rotr(w[(t - 15) % 16], 7) ^ _rotr(w[(t - 15) % 16], 18) ^ (
-                    w[(t - 15) % 16] >> 3
-                )
-                s1 = _rotr(w[(t - 2) % 16], 17) ^ _rotr(w[(t - 2) % 16], 19) ^ (
-                    w[(t - 2) % 16] >> 10
-                )
-                w[t % 16] = w[t % 16] + s0 + w[(t - 7) % 16] + s1
-            s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
-            ch = (e & f) ^ (~e & g)
-            t1 = h + s1 + ch + jnp.uint32(kflat[t]) + w[t % 16]
-            s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
-            maj = (a & b) ^ (a & c) ^ (b & c)
-            t2 = s0 + maj
-            h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
-        na = [
-            v + state[i] for i, v in enumerate([a, b, c, d, e, f, g, h])
-        ]
-        return jnp.stack(na)
+        return jnp.stack(compress_pe([state[i] for i in range(8)], w))
 
     kvec = jnp.asarray(_K.reshape(-1))
     st0 = jnp.stack([state[i] for i in range(8)])
@@ -115,6 +93,96 @@ def compress(state, w, unroll: bool = False):
 
     stv, _ = jax.lax.fori_loop(0, 64, round_body, (st0, buf0))
     return stv + st0
+
+
+IV_INTS = [int(v) for v in IV]
+_K_INTS = [int(v) for v in _K.reshape(-1)]
+
+
+def compress_pe(state, w):
+    """Partial-evaluating unrolled SHA-256 compression.
+
+    state: list of 8 entries, w: list of 16 entries -- each a traced uint32
+    row OR a Python int constant (bitops partial evaluation).  Constant
+    schedule words (padding/length), a constant IV, and K[t]+w[t] combining
+    then cost nothing at run time, and ch/maj use the re-associated forms
+    with their shared-subexpression carried across rounds:
+
+      ch  = g ^ (e & (f^g)),   f^g this round == e^f last round
+      maj = b ^ ((a^b) & (b^c)), b^c this round == a^b last round
+
+    ~3 ops/round cheaper than the textbook forms the reference executes
+    (shaders/sha256.wgsl:131-158).  Returns the 8 state entries as a list
+    (traced rows where data-dependent).
+    """
+    from vgen_tpu.ops import bitops as bo
+
+    st0 = list(state)
+    a, b, c, d, e, f, g, h = st0
+    w = list(w[:16])
+    fg = bo.xor2(f, g)  # f^g for round 0
+    bc = bo.xor2(b, c)  # b^c for round 0
+    for t in range(64):
+        if t >= 16:
+            w15 = w[(t - 15) % 16]
+            w2 = w[(t - 2) % 16]
+            s0 = bo.xor2(
+                bo.xor2(bo.rotr(w15, 7), bo.rotr(w15, 18)), bo.shr(w15, 3)
+            )
+            s1 = bo.xor2(
+                bo.xor2(bo.rotr(w2, 17), bo.rotr(w2, 19)), bo.shr(w2, 10)
+            )
+            w[t % 16] = bo.addn(w[t % 16], s0, w[(t - 7) % 16], s1)
+        s1 = bo.xor2(bo.xor2(bo.rotr(e, 6), bo.rotr(e, 11)), bo.rotr(e, 25))
+        ch = bo.xor2(g, bo.and2(e, fg))
+        t1 = bo.addn(h, s1, ch, _K_INTS[t], w[t % 16])
+        s0 = bo.xor2(bo.xor2(bo.rotr(a, 2), bo.rotr(a, 13)), bo.rotr(a, 22))
+        ab = bo.xor2(a, b)
+        maj = bo.xor2(b, bo.and2(ab, bc))
+        ef = bo.xor2(e, f)
+        h, g, f, e, d, c, b, a = (
+            g, f, e, bo.addn(d, t1), c, b, a, bo.addn(t1, s0, maj)
+        )
+        fg, bc = ef, ab
+    out = [bo.addn(v, st0[i]) for i, v in enumerate([a, b, c, d, e, f, g, h])]
+    shp = None
+    for v in out:
+        if not bo.is_const(v):
+            shp = v.shape
+            break
+    return [bo.materialize(v, shp, jnp) for v in out]
+
+
+def x33_schedule_words(x_limbs, parity):
+    """Schedule words for SHA-256(parity_byte || x_be_32bytes) built straight
+    from 16-bit limbs -- no per-byte materialization (saves ~80 VPU ops per
+    hash vs to_bytes_be + words_from_bytes).
+
+    x_limbs: (16, *B) uint32 little-endian 16-bit limbs; parity: Python int
+    (2/3) or traced uint32 row of {2,3}.  Returns the 16-entry word list for
+    compress_pe (words 9..15 are int constants)."""
+    from vgen_tpu.ops import bitops as bo
+
+    l = x_limbs
+    w = [
+        bo.or2(bo.shl(parity, 24), bo.or2(bo.shl(l[15], 8), bo.shr(l[14], 8)))
+    ]
+    for i in range(1, 8):
+        w.append(
+            bo.or2(
+                bo.shl(bo.and2(l[16 - 2 * i], 0xFF), 24),
+                bo.or2(bo.shl(l[15 - 2 * i], 8), bo.shr(l[14 - 2 * i], 8)),
+            )
+        )
+    w.append(bo.or2(bo.shl(bo.and2(l[0], 0xFF), 24), 0x00800000))
+    w += [0, 0, 0, 0, 0, 0, 264]
+    return w
+
+
+def sha256_x33_state(x_limbs, parity):
+    """SHA-256 state words (8, *B) of a compressed pubkey (parity||x) built
+    from limbs; feed to ripemd160.ripemd160_sha_state_words for hash160."""
+    return compress_pe(IV_INTS, x33_schedule_words(x_limbs, parity))
 
 
 def initial_state(batch_shape):
