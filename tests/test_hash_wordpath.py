@@ -142,6 +142,47 @@ def test_base58check_checksum_word():
             assert int(cw[b]).to_bytes(4, "big") == ref
 
 
+def test_eth_account_words_from_xy():
+    from vgen_tpu.crypto.hashes import keccak256
+    from vgen_tpu.ops import keccak as dev_keccak
+
+    xs = _rand_xs()
+    ys = _rand_xs()
+    xl = jnp.asarray(u256.from_int(xs))
+    yl = jnp.asarray(u256.from_int(ys))
+    got = _words_to_bytes(dev_keccak.eth_account_words_from_xy(xl, yl))
+    for b in range(B):
+        pub = xs[b].to_bytes(32, "big") + ys[b].to_bytes(32, "big")
+        assert got[b] == keccak256(pub)[12:32]
+    # interval path parity (unroll True vs False)
+    w1, _ = pipeline.interval_value_words(
+        AddressFormat.ETHEREUM, xl, yl, unroll=True
+    )
+    w0, _ = pipeline.interval_value_words(
+        AddressFormat.ETHEREUM, xl, yl, unroll=False
+    )
+    for a, c in zip(w1, w0):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_glv_mask_ethereum_unroll_parity():
+    from vgen_tpu.crypto import secp256k1 as ec
+
+    # real curve points so +-y are genuine (any y works for mask parity)
+    xs = _rand_xs()
+    ys = _rand_xs()
+    xl = jnp.asarray(u256.from_int(xs))
+    yl = jnp.asarray(u256.from_int([y % ec.P for y in ys]))
+    lo = jnp.zeros((2, 5), dtype=jnp.uint32)
+    hi = jnp.full((2, 5), 0xFFFFFFFF, dtype=jnp.uint32)
+    hi = hi.at[0, 0].set(0x3FFFFFFF)
+    m1 = np.asarray(pipeline.glv_interval_mask(
+        AddressFormat.ETHEREUM, xl, yl, lo, hi, unroll=True))
+    m0 = np.asarray(pipeline.glv_interval_mask(
+        AddressFormat.ETHEREUM, xl, yl, lo, hi, unroll=False))
+    np.testing.assert_array_equal(m1, m0)
+
+
 def test_compress_pe_all_traced_matches_loop():
     # generic traced inputs: PE path == fori_loop path
     msgs = [bytes([rng.randrange(256) for _ in range(55)]) for _ in range(B)]

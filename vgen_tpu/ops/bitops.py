@@ -116,6 +116,19 @@ def addn(*xs):
     return r
 
 
+def bswap32(v):
+    """Byte-swap a u32 row (or int constant)."""
+    return or2(
+        or2(shr(v, 24), and2(shr(v, 8), 0xFF00)),
+        or2(shl(and2(v, 0xFF00), 8), shl(and2(v, 0xFF), 24)),
+    )
+
+
+def bswap16(v):
+    """Swap the two low bytes of a 16-bit value held in a u32 row."""
+    return or2(shr(v, 8), shl(and2(v, 0xFF), 8))
+
+
 def materialize(x, batch_shape, jnp):
     """Ensure a traced (batch,)-shaped uint32 row (broadcast int constants)."""
     if is_const(x):

@@ -124,6 +124,45 @@ def keccak_f1600(hi, lo, unroll: bool = False):
     return jax.lax.fori_loop(0, 24, round_body, (hi, lo))
 
 
+def eth_account_words_from_xy(x_limbs, y_limbs, unroll: bool = False):
+    """5 BIG-endian u32 word rows of keccak256(x_be||y_be)[12:32] -- the
+    Ethereum account -- with lanes built straight from (16,*B) 16-bit limbs
+    and account words read straight from output lanes (no byte rows).
+
+    The 64-byte message fills lanes 0..7; lane 8 carries the 0x01 pad and
+    lane 16 the 0x80 rate-end pad (keccak256_bytes layout, specialized)."""
+    from vgen_tpu.ops import bitops as bo
+
+    B = x_limbs.shape[1:]
+    zero = jnp.zeros(B, dtype=U32)
+
+    def lanes_from(limbs):
+        # lane j (j=0..3 for one 32-byte BE value): lo32 = bytes 8j..8j+3 LE
+        his, los = [], []
+        for j in range(4):
+            lo = bo.or2(
+                bo.bswap16(limbs[15 - 4 * j]),
+                bo.shl(bo.bswap16(limbs[14 - 4 * j]), 16),
+            )
+            hi = bo.or2(
+                bo.bswap16(limbs[13 - 4 * j]),
+                bo.shl(bo.bswap16(limbs[12 - 4 * j]), 16),
+            )
+            los.append(lo)
+            his.append(hi)
+        return his, los
+
+    xh, xl = lanes_from(x_limbs)
+    yh, yl = lanes_from(y_limbs)
+    lo = xl + yl + [jnp.full(B, 0x01, dtype=U32)] + [zero] * 16
+    hi = xh + yh + [zero] * 8 + [jnp.full(B, 0x80000000, dtype=U32)] + (
+        [zero] * 8
+    )
+    hi, lo = keccak_f1600(jnp.stack(hi), jnp.stack(lo), unroll=unroll)
+    # account bytes 12..31 = lane1.hi, lane2.lo, lane2.hi, lane3.lo, lane3.hi
+    return [bo.bswap32(w) for w in (hi[1], lo[2], hi[2], lo[3], hi[3])]
+
+
 def keccak256_bytes(data, msg_len: int, unroll: bool = False):
     """Keccak-256 of fixed-length messages (<= 135 bytes, single block).
 

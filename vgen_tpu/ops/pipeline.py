@@ -435,6 +435,8 @@ def interval_value_words(fmt: AddressFormat, x3, y3, *extras,
             unroll=unroll,
         )
     elif fmt == AddressFormat.ETHEREUM:
+        if unroll:
+            return keccak.eth_account_words_from_xy(x3, y3, unroll=True), None
         h = eth_account(x3, y3, unroll=unroll)
     elif fmt == AddressFormat.P2TR:
         qx, ok = p2tr_output_key(x3, y3, extras[0], unroll=unroll)
@@ -489,6 +491,15 @@ def glv_interval_mask(fmt: AddressFormat, x3, y3, lo, hi,
         xb = None if unroll else u256.to_bytes_be(xv)
         for pi in range(2):
             if fmt == AddressFormat.ETHEREUM:
+                if unroll:
+                    words = keccak.eth_account_words_from_xy(
+                        xv, ys[pi], unroll=True
+                    )
+                    m = in_intervals(words, lo, hi)
+                    mask = mask | jnp.where(
+                        m, jnp.int32(1 << (2 * v + pi)), 0
+                    )
+                    continue
                 h = eth_account(xv, ys[pi], unroll=unroll)
             elif unroll:
                 # word path: int parity folds into the schedule constant

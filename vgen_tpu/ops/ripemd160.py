@@ -143,10 +143,7 @@ def _bswap(v):
     """Byte-swap a u32 row (or int) via bitops."""
     from vgen_tpu.ops import bitops as bo
 
-    return bo.or2(
-        bo.or2(bo.shr(v, 24), bo.and2(bo.shr(v, 8), 0xFF00)),
-        bo.or2(bo.shl(bo.and2(v, 0xFF00), 8), bo.shl(bo.and2(v, 0xFF), 24)),
-    )
+    return bo.bswap32(v)
 
 
 def ripemd160_sha_state_words(state):
