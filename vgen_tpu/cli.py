@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Write output to file instead of stdout")
         sp.add_argument("--repeat", type=int, default=1,
                         help="Repeat the search N times (perf testing)")
+        sp.add_argument("--profile", default=None, metavar="DIR",
+                        help="Capture a JAX profiler trace of the scan into "
+                        "DIR (view with TensorBoard / xprof)")
 
     g = sub.add_parser("generate", help="Generate vanity address matching a pattern")
     add_common_search(g)
@@ -235,6 +238,7 @@ def run_search(
     file: Optional[str],
     repeat: int,
     checkpoint_path: Optional[str] = None,
+    profile: Optional[str] = None,
 ) -> int:
     from vgen_tpu.scan import scanner as sc
 
@@ -320,6 +324,22 @@ def run_search(
     t_total = time.time()
     all_matches = []
     total_ops = 0
+    prof_cm = None
+    if profile:
+        # aux tracing subsystem (SURVEY §5): the reference has nothing beyond
+        # its live-rate display; here a full device trace lands in `profile`
+        # for TensorBoard/xprof
+        import jax
+
+        if not use_device:
+            # no device scan requested: pin the CPU platform so starting the
+            # profiler does not block on an unreachable accelerator plugin
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
+        prof_cm = jax.profiler.trace(profile)
+        prof_cm.__enter__()
     with _TwoStageInterrupt(stop):
         last_print = [0.0]
 
@@ -345,6 +365,10 @@ def run_search(
             all_matches.extend(res.matches)
             if stop.is_set():
                 break
+    if prof_cm is not None:
+        prof_cm.__exit__(None, None, None)
+        if not quiet:
+            print(f"\nProfiler trace written to {profile}", file=sys.stderr)
     if not quiet:
         print("", file=sys.stderr)
 
@@ -422,6 +446,7 @@ def cmd_generate(args) -> int:
         pattern_str, args.ignore_case, fmt, args.count, use_device,
         args.device_batch_size, args.cpu_batch_size, args.threads,
         None, None, use_tui, args.quiet, args.output, args.file, args.repeat,
+        profile=args.profile,
     )
 
 
@@ -472,6 +497,7 @@ def cmd_range(args) -> int:
         resolved, False, fmt, count, use_device, args.device_batch_size,
         None, args.threads, start, end, use_tui, False, args.output,
         args.file, args.repeat, checkpoint_path=args.checkpoint,
+        profile=args.profile,
     )
 
 
