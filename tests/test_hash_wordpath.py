@@ -142,6 +142,31 @@ def test_base58check_checksum_word():
             assert int(cw[b]).to_bytes(4, "big") == ref
 
 
+def test_hash160_65_words_vs_hashlib():
+    xs = _rand_xs()
+    ys = _rand_xs()
+    xl = jnp.asarray(u256.from_int(xs))
+    yl = jnp.asarray(u256.from_int(ys))
+    got = _words_to_bytes(encode.hash160_65_words_from_xy(xl, yl))
+    for b in range(B):
+        msg = (bytes([4]) + xs[b].to_bytes(32, "big")
+               + ys[b].to_bytes(32, "big"))
+        assert got[b] == host_ripemd(hashlib.sha256(msg).digest())
+    # symbols parity for the uncompressed format
+    s1, l1 = pipeline.symbols_p2pkh_uncompressed(xl, yl, unroll=True)
+    s0, l0 = pipeline.symbols_p2pkh_uncompressed(xl, yl, unroll=False)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+    w1, _ = pipeline.interval_value_words(
+        AddressFormat.P2PKH_UNCOMPRESSED, xl, yl, unroll=True
+    )
+    w0, _ = pipeline.interval_value_words(
+        AddressFormat.P2PKH_UNCOMPRESSED, xl, yl, unroll=False
+    )
+    for a, c in zip(w1, w0):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_eth_account_words_from_xy():
     from vgen_tpu.crypto.hashes import keccak256
     from vgen_tpu.ops import keccak as dev_keccak

@@ -275,6 +275,13 @@ def hash160_33_words_from_x(x_limbs, parity):
     )
 
 
+def hash160_65_words_from_xy(x_limbs, y_limbs):
+    """5 BE u32 word rows of hash160(0x04 || x_be || y_be) (word path)."""
+    return dev_ripemd.ripemd160_sha_state_words(
+        dev_sha.sha256_x65_state(x_limbs, y_limbs)
+    )
+
+
 def words_to_bytes_be(wlist):
     """list of W traced u32 word rows -> (4W, *B) big-endian byte rows."""
     rows = []

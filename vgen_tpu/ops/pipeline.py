@@ -144,6 +144,10 @@ def symbols_p2pkh(x, y, b58_basis=None, unroll=False):
 
 
 def symbols_p2pkh_uncompressed(x, y, b58_basis=None, unroll=False):
+    if unroll:
+        return encode.base58check_symbols_words(
+            0, encode.hash160_65_words_from_xy(x, y), b58_basis
+        )
     h160 = encode.hash160_65(uncompressed_pubkey_bytes(x, y), unroll=unroll)
     return encode.base58check_symbols(
         _base58_payload(0, h160), b58_basis, unroll=unroll
@@ -423,6 +427,8 @@ def interval_value_words(fmt: AddressFormat, x3, y3, *extras,
             return encode.hash160_33_words_from_x(x3, parity), None
         h = encode.hash160_33(compressed_pubkey_bytes(x3, y3), unroll=unroll)
     elif fmt == AddressFormat.P2PKH_UNCOMPRESSED:
+        if unroll:
+            return encode.hash160_65_words_from_xy(x3, y3), None
         h = encode.hash160_65(uncompressed_pubkey_bytes(x3, y3), unroll=unroll)
     elif fmt == AddressFormat.P2SH_P2WPKH:
         if unroll:

@@ -185,6 +185,36 @@ def sha256_x33_state(x_limbs, parity):
     return compress_pe(IV_INTS, x33_schedule_words(x_limbs, parity))
 
 
+def sha256_x65_state(x_limbs, y_limbs):
+    """SHA-256 state words of the 65-byte uncompressed pubkey 0x04||x||y
+    (two compress_pe blocks, schedule words straight from limbs)."""
+    from vgen_tpu.ops import bitops as bo
+
+    def span(l, j):
+        # message word covering value bytes 4j-1 .. 4j+2 of a BE 32-byte value
+        return bo.or2(
+            bo.shl(bo.and2(l[16 - 2 * j], 0xFF), 24),
+            bo.or2(bo.shl(l[15 - 2 * j], 8), bo.shr(l[14 - 2 * j], 8)),
+        )
+
+    xl, yl = x_limbs, y_limbs
+    w = [bo.or2(0x04 << 24, bo.or2(bo.shl(xl[15], 8), bo.shr(xl[14], 8)))]
+    for j in range(1, 8):
+        w.append(span(xl, j))
+    w.append(
+        bo.or2(
+            bo.shl(bo.and2(xl[0], 0xFF), 24),
+            bo.or2(bo.shl(yl[15], 8), bo.shr(yl[14], 8)),
+        )
+    )
+    for j in range(1, 8):
+        w.append(span(yl, j))
+    st = compress_pe(IV_INTS, w)
+    w2 = [bo.or2(bo.shl(bo.and2(yl[0], 0xFF), 24), 0x00800000)]
+    w2 += [0] * 14 + [520]
+    return compress_pe(st, w2)
+
+
 def initial_state(batch_shape):
     return jnp.stack(
         [jnp.full(tuple(batch_shape), int(v), dtype=U32) for v in IV]
