@@ -218,9 +218,9 @@ def p2tr_output_key(x, y, window_table, unroll: bool = False):
     return qx, t_ok & q_ok
 
 
-def symbols_p2tr(x, y, window_table, valid):
+def symbols_p2tr(x, y, window_table, valid, unroll: bool = False):
     """P2TR bech32m symbols.  Returns (syms, length, valid&tweak_valid)."""
-    qx, ok = p2tr_output_key(x, y, window_table)
+    qx, ok = p2tr_output_key(x, y, window_table, unroll=unroll)
     syms, length = encode.segwit_symbols(u256.to_bytes_be(qx), 1)
     return syms, length, valid & ok
 
@@ -269,7 +269,17 @@ def jitted_points_step(chain_len: int = 256):
     )
 
 
-def make_format_tail(fmt: AddressFormat):
+def xla_tail_unroll() -> bool:
+    """Whether jitted XLA tails should use the unrolled (word-path) hash
+    forms: yes on accelerators; no on XLA:CPU, whose -O0 builds evaluate a
+    64-round unrolled DAG as an expression tree (minutes per compile)."""
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def make_format_tail(fmt: AddressFormat, unroll: bool = False):
     """Hash+encode+match stage: (x3, y3, valid, dfa_flat, dfa_accept, start,
     remaining, *extras) -> StepResult.  start/remaining are traced scalars."""
     width = FORMAT_DFA_WIDTH[fmt]
@@ -280,17 +290,18 @@ def make_format_tail(fmt: AddressFormat):
         valid = valid & (idx < remaining)
 
         if fmt == AddressFormat.P2TR:
-            syms, length, valid = symbols_p2tr(x3, y3, extras[0], valid)
+            syms, length, valid = symbols_p2tr(x3, y3, extras[0], valid,
+                                               unroll=unroll)
         elif fmt == AddressFormat.P2PKH:
-            syms, length = symbols_p2pkh(x3, y3)
+            syms, length = symbols_p2pkh(x3, y3, unroll=unroll)
         elif fmt == AddressFormat.P2PKH_UNCOMPRESSED:
-            syms, length = symbols_p2pkh_uncompressed(x3, y3)
+            syms, length = symbols_p2pkh_uncompressed(x3, y3, unroll=unroll)
         elif fmt == AddressFormat.P2WPKH:
-            syms, length = symbols_p2wpkh(x3, y3)
+            syms, length = symbols_p2wpkh(x3, y3, unroll=unroll)
         elif fmt == AddressFormat.P2SH_P2WPKH:
-            syms, length = symbols_p2sh_p2wpkh(x3, y3)
+            syms, length = symbols_p2sh_p2wpkh(x3, y3, unroll=unroll)
         elif fmt == AddressFormat.ETHEREUM:
-            syms, length = symbols_ethereum(x3, y3)
+            syms, length = symbols_ethereum(x3, y3, unroll=unroll)
         else:  # pragma: no cover
             raise AssertionError(fmt)
 
@@ -307,15 +318,15 @@ def make_format_tail(fmt: AddressFormat):
 
 
 @functools.lru_cache(maxsize=16)
-def jitted_format_tail(fmt: AddressFormat):
-    return jax.jit(make_format_tail(fmt))
+def jitted_format_tail(fmt: AddressFormat, unroll: bool = False):
+    return jax.jit(make_format_tail(fmt, unroll))
 
 
 def run_scan_step(fmt, bx, by, tx, ty, dfa_flat, dfa_accept, start, remaining,
                   extras=(), chain_len: int = 256):
     """Convenience wrapper: shared points stage + per-format tail."""
     x3, y3, valid = jitted_points_step(chain_len)(bx, by, tx, ty)
-    return jitted_format_tail(fmt)(
+    return jitted_format_tail(fmt, xla_tail_unroll())(
         x3, y3, valid, dfa_flat, dfa_accept, jnp.int32(start),
         jnp.int32(remaining), *extras
     )
@@ -529,10 +540,12 @@ def glv_interval_mask(fmt: AddressFormat, x3, y3, lo, hi,
     return mask
 
 
-def make_range_tail(fmt: AddressFormat, glv: bool = False):
+def make_range_tail(fmt: AddressFormat, glv: bool = False,
+                    unroll: bool = False):
     """Interval-matching tail: (x3, y3, valid, lo, hi, remaining, *extras)
     -> StepResult.  The XLA counterpart of the fused Pallas range kernel --
-    used on non-TPU backends and under shard_map on device meshes."""
+    used on non-TPU backends and under shard_map on device meshes
+    (unroll=True selects the word-path hashes there)."""
 
     def tail(x3, y3, valid, lo, hi, remaining, *extras):
         B = x3.shape[1]
@@ -540,10 +553,11 @@ def make_range_tail(fmt: AddressFormat, glv: bool = False):
         valid = valid & (idx < remaining)
         if glv:
             assert fmt in GLV_FORMATS, fmt
-            mask = glv_interval_mask(fmt, x3, y3, lo, hi)
+            mask = glv_interval_mask(fmt, x3, y3, lo, hi, unroll=unroll)
             matched = (mask > 0) & valid
         else:
-            words, ok = interval_value_words(fmt, x3, y3, *extras)
+            words, ok = interval_value_words(fmt, x3, y3, *extras,
+                                             unroll=unroll)
             if ok is not None:
                 valid = valid & ok
             matched = in_intervals(words, lo, hi) & valid
@@ -557,15 +571,16 @@ def make_range_tail(fmt: AddressFormat, glv: bool = False):
 
 
 @functools.lru_cache(maxsize=16)
-def jitted_range_tail(fmt: AddressFormat, glv: bool = False):
-    return jax.jit(make_range_tail(fmt, glv))
+def jitted_range_tail(fmt: AddressFormat, glv: bool = False,
+                      unroll: bool = False):
+    return jax.jit(make_range_tail(fmt, glv, unroll))
 
 
 def run_range_scan_step(fmt, bx, by, tx, ty, lo, hi, remaining,
                         extras=(), chain_len: int = 256, glv: bool = False):
     """Convenience wrapper: shared points stage + interval tail."""
     x3, y3, valid = jitted_points_step(chain_len)(bx, by, tx, ty)
-    return jitted_range_tail(fmt, glv)(
+    return jitted_range_tail(fmt, glv, xla_tail_unroll())(
         x3, y3, valid, jnp.asarray(lo), jnp.asarray(hi),
         jnp.int32(remaining), *extras
     )

@@ -364,6 +364,11 @@ def tagged_hash_32(midstate: np.ndarray, data32, unroll: bool = False):
         for b in range(4):
             word = (word << 8) | data32[wi * 4 + b]
         w.append(word)
+    if unroll:
+        # PE path: int midstate + int padding words fold into the rounds
+        w += [0x80000000, 0, 0, 0, 0, 0, 0, 96 * 8]
+        st = compress_pe([int(v) for v in np.asarray(midstate)], w)
+        return state_to_bytes(jnp.stack(st))
     w.append(jnp.full(B, 0x80000000, dtype=U32))  # w[8]
     for _ in range(6):
         w.append(zero)

@@ -37,7 +37,7 @@ def make_mesh(devices=None):
 
 @functools.lru_cache(maxsize=8)
 def _sharded_step(fmt: AddressFormat, n_devices: int, chain_len: int,
-                  has_extras: bool, mesh_key: int):
+                  has_extras: bool, mesh_key: int, unroll: bool = False):
     """Build the shard_map'd full scan step for a mesh (cached per shape)."""
     import jax
     import jax.numpy as jnp
@@ -50,7 +50,7 @@ def _sharded_step(fmt: AddressFormat, n_devices: int, chain_len: int,
     from vgen_tpu.ops import curve, pipeline
 
     mesh = _MESHES[mesh_key]
-    tail = pipeline.make_format_tail(fmt)
+    tail = pipeline.make_format_tail(fmt, unroll)
 
     def local_step(bx, by, tx, ty, dfa_flat, dfa_accept, start, remaining,
                    *extras):
@@ -87,7 +87,8 @@ def _sharded_step(fmt: AddressFormat, n_devices: int, chain_len: int,
 
 @functools.lru_cache(maxsize=8)
 def _sharded_range_step(fmt: AddressFormat, glv: bool, n_devices: int,
-                        chain_len: int, has_extras: bool, mesh_key: int):
+                        chain_len: int, has_extras: bool, mesh_key: int,
+                        unroll: bool = False):
     """shard_map'd interval-matching step (pattern/intervals.py fast path +
     optional GLV 6-keys-per-add expansion) -- same mesh layout as
     _sharded_step, with the lo/hi interval bound tables replicated."""
@@ -101,7 +102,7 @@ def _sharded_range_step(fmt: AddressFormat, glv: bool, n_devices: int,
     from vgen_tpu.ops import curve, pipeline
 
     mesh = _MESHES[mesh_key]
-    tail = pipeline.make_range_tail(fmt, glv)
+    tail = pipeline.make_range_tail(fmt, glv, unroll)
 
     def local_step(bx, by, tx, ty, lo, hi, remaining, *extras):
         x3, y3, valid = curve.batch_affine_add(
@@ -161,6 +162,9 @@ class MeshScanner:
         self.n_devices = self.mesh.devices.size
         _MESHES[id(self.mesh)] = self.mesh
         self._mesh_key = id(self.mesh)
+        # word-path (unrolled) hashes on accelerator meshes; fori_loop forms
+        # on XLA:CPU (see pipeline.xla_tail_unroll)
+        self._unroll = self.mesh.devices.flat[0].platform != "cpu"
 
         replicated = NamedSharding(self.mesh, P())
         tx, ty = tables.ig_table_limbs(batch_size)
@@ -228,7 +232,7 @@ class MeshScanner:
             )
             step = _sharded_range_step(
                 self.fmt, glv, self.n_devices, self.chain_len,
-                bool(self.extras), self._mesh_key,
+                bool(self.extras), self._mesh_key, self._unroll,
             )
             counts, indices, ops, total_count, total_ops = step(
                 bx, by, self.tx, self.ty,
@@ -239,7 +243,7 @@ class MeshScanner:
             flat, accept = pipeline.pad_device_dfa(dev_dfa)
             step = _sharded_step(
                 self.fmt, self.n_devices, self.chain_len, bool(self.extras),
-                self._mesh_key,
+                self._mesh_key, self._unroll,
             )
             counts, indices, ops, total_count, total_ops = step(
                 bx,
