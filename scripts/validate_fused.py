@@ -42,6 +42,7 @@ def run_validation(batch: int = 262144, tile: int = 512) -> bool:
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "^bc1qq"),
         (AddressFormat.P2SH_P2WPKH, "^3J"),
+        (AddressFormat.ETHEREUM, "^0x1[2Ff]"),  # exercises EIP-55 casing
     ]:
         from vgen_tpu.pattern import Pattern as _P
 

@@ -190,6 +190,18 @@ def test_eth_account_words_from_xy():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
+def test_symbols_ethereum_unroll_parity():
+    """Gather-free EIP-55 word path == fori_loop byte path (symbols+case)."""
+    xs = _rand_xs()
+    ys = _rand_xs()
+    xl = jnp.asarray(u256.from_int(xs))
+    yl = jnp.asarray(u256.from_int(ys))
+    s1, l1 = pipeline.symbols_ethereum(xl, yl, unroll=True)
+    s0, l0 = pipeline.symbols_ethereum(xl, yl, unroll=False)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l0))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+
+
 def test_glv_mask_ethereum_unroll_parity():
     from vgen_tpu.crypto import secp256k1 as ec
 

@@ -211,10 +211,9 @@ def segwit_symbols(program_bytes, witver: int, hrp: str = "bc"):
 # --- ethereum hex + EIP-55 -------------------------------------------------
 
 # ASCII codes of lowercase hex digits, for feeding the checksum keccak
-_HEX_ASCII = np.array([ord(c) for c in "0123456789abcdef"], dtype=np.uint32)
 
 
-def eth_symbols(addr20):
+def eth_symbols(addr20, unroll: bool = False):
     """EIP-55 checksummed hex symbols for a 20-byte account.
 
     addr20: (20,*B) -> (symbols(40), length=40).  Symbols: 0-9 -> 0..9,
@@ -226,9 +225,12 @@ def eth_symbols(addr20):
         nibbles.append(addr20[i] & jnp.uint32(0xF))
     nib = jnp.stack(nibbles)  # (40, *B) values 0..15
 
-    hexmap = jnp.asarray(_HEX_ASCII)
-    ascii_lower = hexmap[nib]  # (40, *B) ASCII of lowercase hex
-    digest = dev_keccak.keccak256_bytes(ascii_lower, 40)  # (32, *B)
+    # gather-free lowercase-hex ASCII ('0'=48, 'a'-10=87): keeps the whole
+    # EIP-55 second keccak Mosaic-compatible (no captured table, no gather)
+    ascii_lower = nib + jnp.uint32(48) + jnp.where(
+        nib >= 10, jnp.uint32(39), jnp.uint32(0)
+    )
+    digest = dev_keccak.keccak256_bytes(ascii_lower, 40, unroll=unroll)
     # checksum nibble per position
     csn = []
     for i in range(20):

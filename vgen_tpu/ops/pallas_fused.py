@@ -45,13 +45,15 @@ FUSED_FORMATS = (
     AddressFormat.P2PKH_UNCOMPRESSED,
     AddressFormat.P2WPKH,
     AddressFormat.P2SH_P2WPKH,
+    # EIP-55 casing runs on-chip too: the second keccak over the 40
+    # lowercase-hex ASCII bytes is gather-free (encode.eth_symbols), so the
+    # cased-hex DFA matches checksummed addresses entirely on-device --
+    # the reference never ran Ethereum on its GPU at all (lib.rs:316-319)
+    AddressFormat.ETHEREUM,
 )
 
-# Formats with an interval (range-compare) fused path.  Ethereum has no DFA
-# fused path (EIP-55 casing needs a second keccak per key) but its anchored
-# hex prefixes are ALWAYS interval-compilable, so it matches on account
-# bytes here and the host regex filters the casing.
-RANGE_FORMATS = FUSED_FORMATS + (AddressFormat.ETHEREUM,)
+# Formats with an interval (range-compare) fused path.
+RANGE_FORMATS = FUSED_FORMATS
 
 
 def _symbols_for(fmt: AddressFormat, x3, y3, b58_basis):
@@ -67,6 +69,8 @@ def _symbols_for(fmt: AddressFormat, x3, y3, b58_basis):
         return pipeline.symbols_p2pkh_uncompressed(
             x3, y3, b58_basis, unroll=True
         )
+    if fmt == AddressFormat.ETHEREUM:
+        return pipeline.symbols_ethereum(x3, y3, unroll=True)
     raise ValueError(f"fused path does not support {fmt}")
 
 

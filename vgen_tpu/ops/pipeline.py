@@ -184,9 +184,14 @@ def symbols_p2sh_p2wpkh(x, y, b58_basis=None, unroll=False):
 
 
 def symbols_ethereum(x, y, unroll=False):
+    if unroll:
+        acct = encode.words_to_bytes_be(
+            keccak.eth_account_words_from_xy(x, y, unroll=True)
+        )
+        return encode.eth_symbols(acct, unroll=True)
     pub64 = jnp.concatenate([u256.to_bytes_be(x), u256.to_bytes_be(y)], axis=0)
     digest = keccak.keccak256_bytes(pub64, 64, unroll=unroll)
-    return encode.eth_symbols(digest[12:])
+    return encode.eth_symbols(digest[12:], unroll=unroll)
 
 
 _TAPTWEAK_MIDSTATE = sha256.tagged_midstate("TapTweak")
