@@ -150,6 +150,25 @@ def test_scalar_mul_windowed():
         assert (u256.to_int(ax)[i], u256.to_int(ay)[i]) == expect, hex(k)
 
 
+def test_scalar_mul_add_windowed_affine():
+    """Affine-accumulated Q = P + t*G (the P2TR tweak ladder) vs oracle."""
+    tbl = jnp.asarray(ec.window_table(8))
+    ps = [rng.randrange(1, ec.N) for _ in range(3)] + [5]
+    ts = [1, rng.randrange(1, ec.N), ec.N - 1, 0xDEADBEEF]
+    pts = [ec.scalar_mult(p) for p in ps]
+    px = jnp.asarray(u256.from_int([pt[0] for pt in pts]))
+    py = jnp.asarray(u256.from_int([pt[1] for pt in pts]))
+    scal = jnp.asarray(u256.from_int(ts))
+    f = jax.jit(
+        lambda s, x, y: curve.scalar_mul_add_windowed_affine(s, tbl, x, y, 8)
+    )
+    qx, qy, ok = f(scal, px, py)
+    assert np.asarray(ok).all()
+    for i, (p, t) in enumerate(zip(ps, ts)):
+        expect = ec.scalar_mult((p + t) % ec.N)
+        assert (u256.to_int(qx)[i], u256.to_int(qy)[i]) == expect, (p, t)
+
+
 def test_glv_endomorphism_constants():
     # BETA is a primitive cube root of 1 in F_p, LAMBDA in Z_n, and the
     # endomorphism law phi(x, y) = (BETA*x, y) == LAMBDA*(x, y) holds.

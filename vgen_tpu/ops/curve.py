@@ -202,3 +202,69 @@ def scalar_mul_windowed(scalar_limbs, table, window_bits: int = 8):
 
     X, Y, Z, _ = jax.lax.fori_loop(0, n_windows, body, init)
     return X, Y, Z
+
+
+def scalar_mul_add_windowed_affine(scalar_limbs, table, px, py,
+                                   window_bits: int = 8,
+                                   chain_len: int = 256):
+    """Q = (px, py) + t*G fully in AFFINE coordinates: each of the 256/w
+    window adds shares ONE Montgomery batch inversion across the batch.
+
+    Affine accumulation costs ~6M+1S per add (3M amortized inversion + the
+    2M+1S mixed-add finish) vs ~8M+3S for the Jacobian mixed add, starts
+    from the real point (px, py) so the identity never occurs, and the
+    result needs NO final normalization inversion.  (The reference tweaks
+    per candidate on the CPU, gpu.rs:1288-1291; the earlier Jacobian ladder
+    here is scalar_mul_windowed.)
+
+    Returns (qx, qy, ok): ok=False marks the (vanishing-probability) cases
+    where an accumulator x-collision with a table point would need a
+    doubling/inverse formula -- callers drop those candidates, mirroring
+    how dx==0 is masked in the scan kernels.
+    """
+    assert window_bits in (4, 8, 16)
+    B = scalar_limbs.shape[1]
+    n_windows = 256 // window_bits
+    digits_per_limb = 16 // window_bits
+
+    tbl = table.astype(jnp.float32)  # (W, D, 2, 16)
+    D = tbl.shape[1]
+    C = min(chain_len, B)
+    if B % C:
+        C = B  # one chain over the whole batch (odd test sizes)
+    ones = u256.constant(1, (B,))
+
+    def body(w, carry):
+        ax, ay, ok = carry
+        limb = jax.lax.dynamic_index_in_dim(
+            scalar_limbs, w // digits_per_limb, axis=0, keepdims=False
+        )
+        shift = (jnp.uint32(w) % digits_per_limb) * window_bits
+        digit = (limb >> shift) & jnp.uint32(D - 1)  # (B,)
+        onehot = jax.nn.one_hot(digit, D, dtype=jnp.float32)  # (B, D)
+        tblw = jax.lax.dynamic_index_in_dim(tbl, w, axis=0, keepdims=False)
+        tbl_lo = tblw % 256.0
+        tbl_hi = jnp.floor(tblw / 256.0)
+        sel = (
+            jnp.einsum("bd,dcl->bcl", onehot, tbl_lo)
+            + 256.0 * jnp.einsum("bd,dcl->bcl", onehot, tbl_hi)
+        )  # (B, 2, 16) exact (byte planes <= 255 are bf16-exact)
+        tx = jnp.transpose(sel[:, 0, :]).astype(jnp.uint32)  # (16, B)
+        ty = jnp.transpose(sel[:, 1, :]).astype(jnp.uint32)
+        nonzero = digit != 0
+        dx = field.sub(tx, ax)
+        dx_nz = ~u256.is_zero(dx)
+        ok = ok & (dx_nz | ~nonzero)
+        dx_safe = u256.select(dx_nz, dx, ones)
+        inv = field.batch_inverse_chain(
+            dx_safe.reshape(16, C, B // C)
+        ).reshape(16, B)
+        x3, y3 = affine_add_batch(ax, ay, tx, ty, inv)
+        ax = u256.select(nonzero, x3, ax)
+        ay = u256.select(nonzero, y3, ay)
+        return ax, ay, ok
+
+    ax, ay, ok = jax.lax.fori_loop(
+        0, n_windows, body, (px, py, jnp.ones((B,), dtype=bool))
+    )
+    return ax, ay, ok

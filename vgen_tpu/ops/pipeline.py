@@ -211,15 +211,13 @@ def p2tr_output_key(x, y, window_table, unroll: bool = False):
     # BIP341: t must be < n (negligible failure probability, still masked)
     n_limbs = u256.constant(field.N_INT, B)
     t_ok = ~u256.geq(t_limbs, n_limbs)
-    TX, TY, TZ = curve.scalar_mul_windowed(t_limbs, window_table, 8)
-    # Q = t*G + P_internal (t*G is never infinity for t != 0)
-    QX, QY, QZ = curve.jacobian_add_affine(
-        TX, TY, TZ, x, y_even, z1_is_zero=u256.is_zero(TZ)
+    # Q = P_internal + t*G, accumulated fully in affine with one shared
+    # batch inversion per window (P_internal is a real point, so the
+    # accumulator is never the identity; x-collisions with table points
+    # are masked into q_ok with vanishing probability)
+    qx, _, q_ok = curve.scalar_mul_add_windowed_affine(
+        t_limbs, window_table, x, y_even, 8
     )
-    q_ok = ~u256.is_zero(QZ)
-    # guard Z=0 for batch normalization
-    QZ_safe = u256.select(q_ok, QZ, u256.constant(1, B))
-    qx, _ = curve.batch_jacobian_to_affine(QX, QY, QZ_safe)
     return qx, t_ok & q_ok
 
 
