@@ -133,3 +133,23 @@ def test_default_config():
     assert cfg.format == AddressFormat.P2PKH
     assert cfg.count == 1
     assert cfg.threads is None
+
+
+def test_device_failure_falls_back_to_cpu(monkeypatch):
+    """Reference parity: device failure -> CPU fallback with a warning
+    (lib.rs:727-747, 1185-1198), sticky for subsequent scans."""
+
+    class Boom:
+        def __init__(self, *a, **kw):
+            raise RuntimeError("no accelerator")
+
+    monkeypatch.setattr(sc, "DeviceScanner", Boom)
+    monkeypatch.setattr(sc, "_scanner_cache", {})
+    monkeypatch.setattr(sc, "_DEVICE_BROKEN", False)
+    res = sc.scan_with_progress(
+        Pattern("^1"),
+        config(format=AddressFormat.P2PKH, use_device=True, count=1,
+               cpu_batch_size=50),
+    )
+    assert len(res.matches) == 1
+    assert sc._DEVICE_BROKEN is True

@@ -573,6 +573,7 @@ def _scan_cpu_python(
 # ---------------------------------------------------------------------------
 
 _scanner_cache = {}
+_DEVICE_BROKEN = False  # set after a device failure; later scans go CPU
 
 
 def scan_with_progress(
@@ -581,13 +582,32 @@ def scan_with_progress(
     progress_callback: Optional[ProgressCallback] = None,
     stop_flag: Optional[StopFlag] = None,
 ) -> ScanResult:
-    if not config.use_device:
+    global _DEVICE_BROKEN
+    if not config.use_device or _DEVICE_BROKEN:
         return _scan_cpu(pattern, config, progress_callback, stop_flag)
     batch = config.device_batch_size or DEFAULT_DEVICE_BATCH
     key = (config.format, batch)
-    if key not in _scanner_cache:
-        _scanner_cache[key] = DeviceScanner(config.format, batch)
-    return _scanner_cache[key].scan(pattern, config, progress_callback, stop_flag)
+    try:
+        if key not in _scanner_cache:
+            _scanner_cache[key] = DeviceScanner(config.format, batch)
+        return _scanner_cache[key].scan(
+            pattern, config, progress_callback, stop_flag
+        )
+    except KeyboardInterrupt:
+        raise
+    except Exception as e:
+        # layered failure recovery (reference: GPU init failure -> CPU with
+        # guidance, lib.rs:727-747; mid-TUI failure -> CPU fallback in the
+        # search thread, lib.rs:1185-1198)
+        _DEVICE_BROKEN = True
+        import sys
+
+        print(
+            f"Device scan failed ({type(e).__name__}: {e}); "
+            "falling back to the CPU scanner.",
+            file=sys.stderr,
+        )
+        return _scan_cpu(pattern, config, progress_callback, stop_flag)
 
 
 def scan(pattern: Pattern, config: ScanConfig) -> ScanResult:
