@@ -67,6 +67,9 @@ def compress(state, w, unroll: bool = False):
 
     kvec = jnp.asarray(_K.reshape(-1))
     st0 = jnp.stack([state[i] for i in range(8)])
+    from vgen_tpu.ops import bitops as bo
+
+    w = [bo.materialize(w[i], st0.shape[1:], jnp) for i in range(16)]
     # rotating schedule buffer: at round t, buf[i] = w[t-16+i] (mod history);
     # rounds 0-15 pop buf[0] and push it back unchanged, so at round 16 the
     # buffer again holds w[0..15] and the recurrence
@@ -223,25 +226,26 @@ def initial_state(batch_shape):
 
 def words_from_bytes(data, msg_len: int):
     """Build the 16-word single-block schedule for a message of msg_len bytes
-    (<= 55) given data as a (msg_len, *B) byte array; constant SHA padding."""
+    (<= 55) given data as a (msg_len, *B) byte array.  Padding/length words
+    come out as Python-int constants, so compress_pe folds them for free
+    (compress materializes them for the fori_loop path)."""
+    from vgen_tpu.ops import bitops as bo
+
     assert msg_len <= 55
-    B = data.shape[1:]
-    zero = jnp.zeros(B, dtype=U32)
     w = []
     for wi in range(16):
-        word = zero
+        word = 0
         for b in range(4):
             idx = wi * 4 + b
             if idx < msg_len:
                 byte = data[idx]
             elif idx == msg_len:
-                byte = jnp.full(B, 0x80, dtype=U32)
+                byte = 0x80
             elif wi == 15 and idx >= 62:
-                bits = msg_len * 8
-                byte = jnp.full(B, (bits >> (8 * (63 - idx))) & 0xFF, dtype=U32)
+                byte = ((msg_len * 8) >> (8 * (63 - idx))) & 0xFF
             else:
-                byte = zero
-            word = (word << 8) | byte
+                byte = 0
+            word = bo.or2(bo.shl(word, 8), byte)
         w.append(word)
     return w
 
