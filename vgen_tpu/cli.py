@@ -340,35 +340,38 @@ def run_search(
                 pass
         prof_cm = jax.profiler.trace(profile)
         prof_cm.__enter__()
-    with _TwoStageInterrupt(stop):
-        last_print = [0.0]
+    try:
+        with _TwoStageInterrupt(stop):
+            last_print = [0.0]
 
-        def progress(ops):
-            if quiet:
-                return
-            now = time.time()
-            if now - last_print[0] > 0.5:
-                last_print[0] = now
-                elapsed = now - t_total
-                rate = (total_ops + ops) / elapsed if elapsed > 0 else 0.0
-                print(
-                    f"\r[{format_duration(elapsed)}] checked "
-                    f"{format_with_commas(total_ops + ops)} keys "
-                    f"({rate:,.0f}/s)   ",
-                    end="",
-                    file=sys.stderr,
-                )
+            def progress(ops):
+                if quiet:
+                    return
+                now = time.time()
+                if now - last_print[0] > 0.5:
+                    last_print[0] = now
+                    elapsed = now - t_total
+                    rate = (total_ops + ops) / elapsed if elapsed > 0 else 0.0
+                    print(
+                        f"\r[{format_duration(elapsed)}] checked "
+                        f"{format_with_commas(total_ops + ops)} keys "
+                        f"({rate:,.0f}/s)   ",
+                        end="",
+                        file=sys.stderr,
+                    )
 
-        for _ in range(repeat):
-            res = sc.scan_with_progress(pat, config, progress, stop)
-            total_ops += res.operations
-            all_matches.extend(res.matches)
-            if stop.is_set():
-                break
-    if prof_cm is not None:
-        prof_cm.__exit__(None, None, None)
-        if not quiet:
-            print(f"\nProfiler trace written to {profile}", file=sys.stderr)
+            for _ in range(repeat):
+                res = sc.scan_with_progress(pat, config, progress, stop)
+                total_ops += res.operations
+                all_matches.extend(res.matches)
+                if stop.is_set():
+                    break
+    finally:
+        if prof_cm is not None:
+            prof_cm.__exit__(None, None, None)
+            if not quiet:
+                print(f"\nProfiler trace written to {profile}",
+                      file=sys.stderr)
     if not quiet:
         print("", file=sys.stderr)
 
