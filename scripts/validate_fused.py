@@ -178,6 +178,56 @@ def run_validation(batch: int = 262144, tile: int = 512) -> bool:
               f"missing={missing}, spurious={extra})")
         ok = ok and glv_ok
 
+    # GLV on the generic DFA path: arbitrary (non-interval) regex, 6
+    # variants per position (suffix patterns exercise the full encode)
+    for fmt, pattern in [
+        (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.P2WPKH, "q$"),
+        (AddressFormat.ETHEREUM, "^0x1[2Ff]"),
+    ]:
+        gen = AddressGenerator(fmt)
+        pat = Pattern(pattern)
+
+        def _any_variant(i):
+            return any(
+                pat.matches(gen.generate(v.to_bytes(32, "big")).address)
+                for v in ec.glv_variant_keys(base_oracle + 1 + i)
+            )
+
+        expect_glv = sorted(i for i in range(n_oracle) if _any_variant(i))
+        dev = pat.device_dfa(fmt)
+        from vgen_tpu.ops import pipeline as _pl
+
+        flat, accept = _pl.pad_device_dfa(dev)
+        S = accept.shape[0]
+        base = ec.scalar_mult(base_oracle)
+        bx1 = jnp.asarray(_ints_to_limbs([base[0]]))
+        by1 = jnp.asarray(_ints_to_limbs([base[1]]))
+        gstep = pallas_fused.fused_scan_step(
+            fmt, batch, S, 256, tile, 1, glv=True
+        )
+        packed = np.asarray(
+            gstep(
+                bx1, by1, tx, ty,
+                jnp.asarray(flat.reshape(S, -1).astype(np.float32)),
+                jnp.asarray(accept.astype(np.float32).reshape(S, 1)),
+                jnp.int32(dev.start),
+                jnp.full((1,), n_oracle, jnp.int32),
+            )
+        )[0]
+        got = sorted(int(i) for i in packed[2:] if i >= 0)
+        extra = [i for i in got if i not in expect_glv]
+        missing = [i for i in expect_glv[-16:] if i not in got]
+        gdfa_ok = (
+            not missing and not extra
+            and int(packed[0]) == len(expect_glv)
+            and int(packed[1]) == 6 * n_oracle
+        )
+        print(f"{fmt.value}: GLV-DFA window match = {gdfa_ok} "
+              f"(count {packed[0]} vs {len(expect_glv)}, ops {packed[1]}, "
+              f"missing={missing}, spurious={extra})")
+        ok = ok and gdfa_ok
+
     for fmt, pattern in [
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "^bc1qq"),

@@ -90,3 +90,43 @@ def test_range_tail_glv_vs_oracle(fmt, pattern):
     assert got == expect[-pipeline.TOP_K:]
     assert count == len(expect)
     assert ops == 6 * B
+
+
+def _run_dfa(fmt, pattern_str, glv=False):
+    import jax.numpy as jnp
+
+    tx, ty = tables.ig_table_limbs(B)
+    pt = ec.scalar_mult(BASE)
+    bx = jnp.asarray(tables._ints_to_limbs([pt[0]])[0])
+    by = jnp.asarray(tables._ints_to_limbs([pt[1]])[0])
+    pat = Pattern(pattern_str)
+    dev = pat.device_dfa(fmt)
+    flat, accept = pipeline.pad_device_dfa(dev)
+    extras = ()
+    if fmt == AddressFormat.P2TR:
+        extras = (jnp.asarray(tables.window_table_u32(8)),)
+    res = pipeline.run_scan_step(
+        fmt, bx, by, jnp.asarray(tx), jnp.asarray(ty),
+        jnp.asarray(flat), jnp.asarray(accept), dev.start, B,
+        extras=extras, chain_len=CHAIN, glv=glv,
+    )
+    got = sorted(int(i) for i in np.asarray(res.indices) if i >= 0)
+    return pat, got, int(res.count), int(res.ops)
+
+
+@pytest.mark.parametrize(
+    "fmt,pattern",
+    [
+        (AddressFormat.P2PKH, "^1C"),          # prefix via DFA
+        (AddressFormat.P2WPKH, "q$"),          # suffix (non-interval)
+        (AddressFormat.P2SH_P2WPKH, "^3[AB]"),
+        (AddressFormat.ETHEREUM, "^0x[1Ff]"),  # EIP-55 cased class
+    ],
+)
+def test_dfa_tail_glv_vs_oracle(fmt, pattern):
+    """GLV 6-variant expansion on the generic DFA path (any regex)."""
+    pat, got, count, ops = _run_dfa(fmt, pattern, glv=True)
+    expect = _oracle(fmt, pat, glv=True)
+    assert got == expect[-pipeline.TOP_K:]
+    assert count == len(expect)
+    assert ops == 6 * B

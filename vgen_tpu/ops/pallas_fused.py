@@ -126,14 +126,59 @@ def _make_kernel(fmt: AddressFormat, tile: int, batch: int):
     return kernel
 
 
+def _make_glv_dfa_kernel(fmt: AddressFormat, tile: int, batch: int):
+    """GLV DFA kernel: each window position DFA-matches the addresses of
+    all 6 endomorphism variants {±k, ±λk, ±λ²k} -- 6 keys per EC add for
+    arbitrary regex patterns, not just interval-compilable prefixes.  The
+    variants' points share x-coordinates {x, βx, β²x}; hash160 formats
+    cover ± via the two compressed prefixes (x-only finish), Ethereum via
+    ±y (full finish)."""
+    from vgen_tpu.crypto import secp256k1 as ec
+
+    def kernel(start_ref, rem_ref, bx_ref, by_ref, tx_ref, ty_ref, inv_ref,
+               dfa_ref, acc_ref, b58_ref, match_ref):
+        i = pl.program_id(0)
+        bx = bx_ref[:, 0][:, None]
+        by = by_ref[:, 0][:, None]
+        if fmt == AddressFormat.ETHEREUM:
+            x3, y3, valid = _ec_finish(bx, by, tx_ref[...], ty_ref[...],
+                                       inv_ref[...])
+            ys = (y3, field.neg(y3))
+        else:
+            x3, valid = _ec_finish_x(bx, by, tx_ref[...], ty_ref[...],
+                                     inv_ref[...])
+            ys = (None, None)
+        start = start_ref[0]
+        remaining = rem_ref[0]
+        gidx = i * tile + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile), 1
+        )[0]
+        valid = valid & (gidx < remaining)
+        beta = u256.constant(ec.BETA, x3.shape[1:])
+        beta2 = u256.constant(ec.BETA2, x3.shape[1:])
+        matched = jnp.zeros(x3.shape[1:], dtype=bool)
+        for xv in (x3, field.mul(x3, beta), field.mul(x3, beta2)):
+            for pi in range(2):
+                syms, length = pipeline.glv_variant_symbols(
+                    fmt, xv, ys[pi], pi, b58_ref[...], unroll=True
+                )
+                m = _match_tile(dfa_ref[...], acc_ref[...], start, syms,
+                                length)
+                matched = matched | m
+        match_ref[0, :] = jnp.where(matched & valid, 1, 0)
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=16)
 def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
-                   tile: int = DEFAULT_TILE):
+                   tile: int = DEFAULT_TILE, glv: bool = False):
     """Compiled fused matcher: (start, remaining, bx, by, tx, ty, inv_dx,
     dfa_f32 (S,W), accept_f32 (S,1)) -> match (1, batch) int32."""
     width = pipeline.FORMAT_DFA_WIDTH[fmt]
     grid = batch // tile
-    kernel = _make_kernel(fmt, tile, batch)
+    maker = _make_glv_dfa_kernel if glv else _make_kernel
+    kernel = maker(fmt, tile, batch)
 
     limb = lambda: pl.BlockSpec((16, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
@@ -238,7 +283,7 @@ def _build_step(tail_one, batch: int, chain_len: int, k_sub: int):
 @functools.lru_cache(maxsize=16)
 def fused_scan_step(fmt: AddressFormat, batch: int, n_states: int,
                     chain_len: int = 256, tile: int = DEFAULT_TILE,
-                    k_sub: int = 1):
+                    k_sub: int = 1, glv: bool = False):
     """Full jitted step: XLA inversion + fused Pallas DFA tail + top-K.
 
     With k_sub > 1 the step scans k_sub consecutive key windows (one base
@@ -247,17 +292,21 @@ def fused_scan_step(fmt: AddressFormat, batch: int, n_states: int,
     round trips through the device tunnel cost ~27 ms each, so results for
     k_sub * batch keys ship as a single transfer.
 
+    glv=True (random scans): each position DFA-matches the 6 GLV variants
+    of its key (ops reported 6x; the host re-derives all variants of a
+    reported index, exactly like the interval GLV path).
+
     (bx (K,16), by (K,16), tx, ty, dfa_f32, accept_f32, start,
      remaining (K,)) -> (K, 18) int32
     """
-    match_fn = fused_match_fn(fmt, batch, n_states, tile)
+    match_fn = fused_match_fn(fmt, batch, n_states, tile, glv)
 
     def _tail_one(bx, by, tx, ty, inv_dx, remaining, dfa_f32, accept_f32,
                   start):
         match = match_fn(
             start, remaining, bx, by, tx, ty, inv_dx, dfa_f32, accept_f32
         )[0]
-        return _pack_tail(match, remaining, batch)
+        return _pack_tail(match, remaining, batch, ops_mult=6 if glv else 1)
 
     built = _build_step(_tail_one, batch, chain_len, k_sub)
 

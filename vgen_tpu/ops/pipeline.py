@@ -272,6 +272,50 @@ def jitted_points_step(chain_len: int = 256):
     )
 
 
+def glv_variant_symbols(fmt: AddressFormat, xv, yv, pi: int,
+                        b58_basis=None, unroll: bool = False):
+    """Address symbols for one GLV variant point: x-coordinate xv with
+    compressed-pubkey parity index pi (prefix byte 2+pi); yv is the ±y
+    coordinate (consulted by Ethereum only, which hashes full coords).
+
+    The exact variant↔(xv, pi) assignment is irrelevant: the host re-derives
+    ALL 6 glv_variant_keys of a reported index (scan/scanner.py drain)."""
+    if fmt == AddressFormat.ETHEREUM:
+        if unroll:
+            acct = encode.words_to_bytes_be(
+                keccak.eth_account_words_from_xy(xv, yv, unroll=True)
+            )
+            return encode.eth_symbols(acct, unroll=True)
+        pub64 = jnp.concatenate(
+            [u256.to_bytes_be(xv), u256.to_bytes_be(yv)], axis=0
+        )
+        digest = keccak.keccak256_bytes(pub64, 64)
+        return encode.eth_symbols(digest[12:])
+    if unroll:
+        h160w = encode.hash160_33_words_from_x(xv, 2 + pi)
+        if fmt == AddressFormat.P2PKH:
+            return encode.base58check_symbols_words(0, h160w, b58_basis)
+        if fmt == AddressFormat.P2WPKH:
+            return encode.segwit_symbols(encode.words_to_bytes_be(h160w), 0)
+        if fmt == AddressFormat.P2SH_P2WPKH:
+            return encode.base58check_symbols_words(
+                5, encode.script_hash_words(h160w), b58_basis
+            )
+        raise ValueError(fmt)
+    xb = u256.to_bytes_be(xv)
+    prefix = jnp.full((1,) + xb.shape[1:], 2 + pi, dtype=U32)
+    h160 = encode.hash160_33(jnp.concatenate([prefix, xb], axis=0))
+    if fmt == AddressFormat.P2PKH:
+        return encode.base58check_symbols(_base58_payload(0, h160), b58_basis)
+    if fmt == AddressFormat.P2WPKH:
+        return encode.segwit_symbols(h160, 0)
+    if fmt == AddressFormat.P2SH_P2WPKH:
+        return encode.base58check_symbols(
+            _base58_payload(5, script_hash(h160)), b58_basis
+        )
+    raise ValueError(fmt)
+
+
 def xla_tail_unroll() -> bool:
     """Whether jitted XLA tails should use the unrolled (word-path) hash
     forms: yes on accelerators; no on XLA:CPU, whose -O0 builds evaluate a
@@ -282,15 +326,47 @@ def xla_tail_unroll() -> bool:
         return False
 
 
-def make_format_tail(fmt: AddressFormat, unroll: bool = False):
+def make_format_tail(fmt: AddressFormat, unroll: bool = False,
+                     glv: bool = False):
     """Hash+encode+match stage: (x3, y3, valid, dfa_flat, dfa_accept, start,
-    remaining, *extras) -> StepResult.  start/remaining are traced scalars."""
+    remaining, *extras) -> StepResult.  start/remaining are traced scalars.
+
+    glv=True: DFA-matches all 6 GLV endomorphism variants {±k, ±λk, ±λ²k}
+    of each window key (6 keys per EC add -- the same amortization the
+    interval path uses, extended to arbitrary regex patterns)."""
     width = FORMAT_DFA_WIDTH[fmt]
 
     def tail(x3, y3, valid, dfa_flat, dfa_accept, start, remaining, *extras):
         B = x3.shape[1]
         idx = jnp.arange(B, dtype=jnp.int32)
         valid = valid & (idx < remaining)
+
+        if glv:
+            assert fmt in GLV_FORMATS, fmt
+            from vgen_tpu.crypto import secp256k1 as ec
+
+            beta = u256.constant(ec.BETA, x3.shape[1:])
+            beta2 = u256.constant(ec.BETA2, x3.shape[1:])
+            ys = (
+                (y3, field.neg(y3))
+                if fmt == AddressFormat.ETHEREUM else (None, None)
+            )
+            matched = jnp.zeros(B, dtype=bool)
+            for xv in (x3, field.mul(x3, beta), field.mul(x3, beta2)):
+                for pi in range(2):
+                    syms, length = glv_variant_symbols(
+                        fmt, xv, ys[pi], pi, unroll=unroll
+                    )
+                    m = match_symbols(
+                        dfa_flat, dfa_accept, start, width, syms, length
+                    )
+                    matched = matched | m.astype(bool)
+            matched = matched & valid
+            count = jnp.sum(matched.astype(jnp.int32))
+            scores = jnp.where(matched, idx, jnp.int32(-1))
+            top, _ = jax.lax.top_k(scores, TOP_K)
+            ops = jnp.sum(valid.astype(jnp.int32)) * jnp.int32(6)
+            return StepResult(count=count, indices=top, ops=ops)
 
         if fmt == AddressFormat.P2TR:
             syms, length, valid = symbols_p2tr(x3, y3, extras[0], valid,
@@ -321,15 +397,16 @@ def make_format_tail(fmt: AddressFormat, unroll: bool = False):
 
 
 @functools.lru_cache(maxsize=16)
-def jitted_format_tail(fmt: AddressFormat, unroll: bool = False):
-    return jax.jit(make_format_tail(fmt, unroll))
+def jitted_format_tail(fmt: AddressFormat, unroll: bool = False,
+                       glv: bool = False):
+    return jax.jit(make_format_tail(fmt, unroll, glv))
 
 
 def run_scan_step(fmt, bx, by, tx, ty, dfa_flat, dfa_accept, start, remaining,
-                  extras=(), chain_len: int = 256):
+                  extras=(), chain_len: int = 256, glv: bool = False):
     """Convenience wrapper: shared points stage + per-format tail."""
     x3, y3, valid = jitted_points_step(chain_len)(bx, by, tx, ty)
-    return jitted_format_tail(fmt, xla_tail_unroll())(
+    return jitted_format_tail(fmt, xla_tail_unroll(), glv)(
         x3, y3, valid, dfa_flat, dfa_accept, jnp.int32(start),
         jnp.int32(remaining), *extras
     )

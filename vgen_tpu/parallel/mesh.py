@@ -37,7 +37,8 @@ def make_mesh(devices=None):
 
 @functools.lru_cache(maxsize=8)
 def _sharded_step(fmt: AddressFormat, n_devices: int, chain_len: int,
-                  has_extras: bool, mesh_key: int, unroll: bool = False):
+                  has_extras: bool, mesh_key: int, unroll: bool = False,
+                  glv: bool = False):
     """Build the shard_map'd full scan step for a mesh (cached per shape)."""
     import jax
     import jax.numpy as jnp
@@ -50,7 +51,7 @@ def _sharded_step(fmt: AddressFormat, n_devices: int, chain_len: int,
     from vgen_tpu.ops import curve, pipeline
 
     mesh = _MESHES[mesh_key]
-    tail = pipeline.make_format_tail(fmt, unroll)
+    tail = pipeline.make_format_tail(fmt, unroll, glv)
 
     def local_step(bx, by, tx, ty, dfa_flat, dfa_accept, start, remaining,
                    *extras):
@@ -241,9 +242,11 @@ class MeshScanner:
         else:
             dev_dfa = pattern.device_dfa(self.fmt)
             flat, accept = pipeline.pad_device_dfa(dev_dfa)
+            glv = allow_glv and self.fmt in pipeline.GLV_FORMATS
+            self.glv_active = glv
             step = _sharded_step(
                 self.fmt, self.n_devices, self.chain_len, bool(self.extras),
-                self._mesh_key, self._unroll,
+                self._mesh_key, self._unroll, glv,
             )
             counts, indices, ops, total_count, total_ops = step(
                 bx,

@@ -210,9 +210,15 @@ class DeviceScanner:
                 elif (config.format in pallas_fused.FUSED_FORMATS
                       and accept.shape[0] <= 256):
                     S = accept.shape[0]
+                    # GLV applies to arbitrary patterns, not just intervals:
+                    # 6 candidate keys per EC add (random scans only)
+                    glv = (
+                        config.start is None
+                        and config.format in pallas_fused.GLV_FORMATS
+                    )
                     fused_step = pallas_fused.fused_scan_step(
                         config.format, self.batch, S, self.chain_len,
-                        k_sub=k_sub,
+                        k_sub=k_sub, glv=glv,
                     )
                     dfa_f32 = jnp.asarray(
                         flat.reshape(S, -1).astype(np.float32)
@@ -240,6 +246,12 @@ class DeviceScanner:
                 lo_w = jnp.asarray(lo_np)
                 hi_w = jnp.asarray(hi_np)
                 xla_range = True
+            else:
+                # XLA DFA path: GLV for arbitrary patterns on random scans
+                glv = (
+                    config.start is None
+                    and config.format in pipeline.GLV_FORMATS
+                )
 
         is_range = config.start is not None
         ckpt = config.checkpoint if is_range else None
@@ -337,6 +349,7 @@ class DeviceScanner:
                         remainings[0],
                         extras=self.extras,
                         chain_len=self.chain_len,
+                        glv=glv,
                     )
                 packed = pipeline.pack_result(res)[None]
             inflight.append((base_scalars, packed))
