@@ -93,7 +93,8 @@ def test_estimate_provider(capsys):
 
 def test_generate_quick(capsys):
     rc = run_from_args(
-        ["generate", "-p", "^1", "--no-tui", "-q", "--device-batch-size", "256"]
+        ["generate", "-p", "^1", "--no-tui", "-q", "--device-batch-size",
+         "256", "--backend", "cpu"]
     )
     out = capsys.readouterr().out
     assert rc == 0
@@ -157,7 +158,7 @@ def test_range_puzzle_small(capsys):
     # puzzle 8 range is tiny: exact-match via provider data
     rc = run_from_args(
         ["range", "-p", "boha:b1000:8", "--no-tui", "-o", "minimal",
-         "--device-batch-size", "256"]
+         "--device-batch-size", "256", "--backend", "cpu"]
     )
     out = capsys.readouterr().out.strip()
     assert rc == 0
@@ -215,3 +216,46 @@ def test_range_with_explicit_range_and_count_zero(capsys):
     out = capsys.readouterr().out.strip()
     assert rc == 0
     assert out  # found the key
+
+
+# -- device-backend resolution (startup-hang resilience) ---------------------
+
+
+def test_resolve_use_device_no_device():
+    from vgen_tpu.cli import resolve_use_device
+
+    assert resolve_use_device("auto", no_device=True) is False
+    assert resolve_use_device("tpu", no_device=True) is False
+
+
+def test_resolve_use_device_backend_cpu_uses_jax_pipeline():
+    from vgen_tpu.cli import resolve_use_device
+
+    assert resolve_use_device("cpu", no_device=False) is True
+
+
+def test_resolve_use_device_env_cpu_auto_native(monkeypatch):
+    # JAX_PLATFORMS=cpu (the test env) + auto -> native CPU scanner
+    from vgen_tpu.cli import resolve_use_device
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert resolve_use_device("auto", no_device=False) is False
+
+
+def test_resolve_use_device_env_cpu_tpu_conflict(monkeypatch):
+    from vgen_tpu.cli import resolve_use_device
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    with pytest.raises(SystemExit):
+        resolve_use_device("tpu", no_device=False)
+
+
+def test_resolve_use_device_probe_cpu_only(monkeypatch):
+    # probe path: no env override, but jax is pinned to CPU (conftest) ->
+    # auto prefers the native scanner, explicit tpu errors
+    from vgen_tpu.cli import resolve_use_device
+
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    assert resolve_use_device("auto", no_device=False) is False
+    with pytest.raises(SystemExit):
+        resolve_use_device("tpu", no_device=False)

@@ -62,7 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Keys per device dispatch (default 262144)")
         sp.add_argument("--backend", default="auto",
                         choices=["auto", "tpu", "cpu"],
-                        help="Device backend selection")
+                        help="Device backend: auto probes the accelerator "
+                        "and falls back to the CPU scanner if unreachable; "
+                        "tpu requires it; cpu runs the JAX pipeline on the "
+                        "CPU backend")
         sp.add_argument("--no-tui", action="store_true",
                         help="Disable the terminal UI")
         sp.add_argument("-o", "--output", default="text",
@@ -194,6 +197,89 @@ def parse_explicit_range(
         "error: either --range, --puzzle, or a provider pattern with a key "
         "range must be specified"
     )
+
+
+def _pin_cpu_platform() -> None:
+    """Pin JAX to the CPU platform before first use.  The environment may
+    force-register an accelerator plugin (sitecustomize) that shadows the
+    JAX_PLATFORMS=cpu env var, so the config update is required too."""
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
+def resolve_use_device(backend: str, no_device: bool,
+                       quiet: bool = False) -> bool:
+    """Decide whether to scan on a JAX device.
+
+    Reference parity: layered device fallback (lib.rs:708-747 -- GPU init
+    failure falls back to CPU with guidance; an explicitly requested backend
+    that is unavailable is an error).  TPU twist: an unreachable TPU runtime
+    (e.g. a down tunnel) HANGS in backend init rather than raising, so
+    `auto` probes device initialization in a daemon thread with a timeout
+    (VGEN_TPU_DEVICE_TIMEOUT seconds, default 60) and falls back to the
+    native CPU scanner when the probe does not come up in time.
+    """
+    import os
+
+    if no_device:
+        return False
+    if backend == "cpu":
+        # the JAX CPU backend still runs the full device pipeline (the
+        # "software rasterizer" of this build); --no-device selects the
+        # native C++ scanner instead
+        _pin_cpu_platform()
+        return True
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        # honor the env var the platform plugin would otherwise shadow
+        _pin_cpu_platform()
+        if backend == "tpu":
+            print("error: --backend tpu conflicts with JAX_PLATFORMS=cpu",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        return False
+
+    timeout = float(os.environ.get("VGEN_TPU_DEVICE_TIMEOUT", "60"))
+    probe: dict = {}
+
+    def _probe():
+        try:
+            import jax
+
+            probe["platform"] = jax.devices()[0].platform
+        except Exception as e:  # plugin raised instead of hanging
+            probe["error"] = e
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout)
+    if "platform" in probe and probe["platform"] != "cpu":
+        return True
+    if "platform" in probe:  # only CPU devices visible
+        if backend == "tpu":
+            print("error: --backend tpu requested but no TPU device is "
+                  "visible", file=sys.stderr)
+            raise SystemExit(2)
+        # the native C++ scanner outruns the XLA:CPU pipeline -- use it
+        return False
+    reason = (
+        f"device init did not respond within {timeout:.0f}s"
+        if th.is_alive() else f"device init failed: {probe.get('error')}"
+    )
+    if backend == "tpu":
+        print(f"error: --backend tpu requested but {reason}", file=sys.stderr)
+        raise SystemExit(2)
+    if not quiet:
+        print(
+            f"Warning: {reason}; falling back to the CPU scanner "
+            "(set VGEN_TPU_DEVICE_TIMEOUT to wait longer, or pass "
+            "--no-device to skip the probe).",
+            file=sys.stderr,
+        )
+    return False
 
 
 class _TwoStageInterrupt:
@@ -440,7 +526,7 @@ def cmd_generate(args) -> int:
             file=sys.stderr,
         )
     use_tui = (not args.no_tui) and sys.stdout.isatty()
-    use_device = not args.no_device and args.backend != "cpu"
+    use_device = resolve_use_device(args.backend, args.no_device, args.quiet)
     if use_tui and args.repeat > 1:
         print("error: TUI mode supports a single run; use --no-tui",
               file=sys.stderr)
@@ -495,7 +581,7 @@ def cmd_range(args) -> int:
     )
     count = args.count  # 0 = scan entire range
     use_tui = (not args.no_tui) and sys.stdout.isatty()
-    use_device = not args.no_device and args.backend != "cpu"
+    use_device = resolve_use_device(args.backend, args.no_device)
     return run_search(
         resolved, False, fmt, count, use_device, args.device_batch_size,
         None, args.threads, start, end, use_tui, False, args.output,
