@@ -121,3 +121,21 @@ def test_native_stop_flag():
     assert time.time() - t0 < 10
     assert res.matches == []
     timer.cancel()
+
+
+def test_native_scan_doubling_degenerate_key():
+    """The C++ batch add's dx==0 slot (key == 2*base) must be recomputed
+    via jac_double, not derived from the garbage masked point."""
+    import re
+
+    from vgen_tpu.pattern.redfa import compile_dfa
+
+    key = 4  # scan starts at base 2 -> degenerate slot j == 2 -> key 4
+    addr = AddressGenerator(AddressFormat.P2PKH).generate(
+        key.to_bytes(32, "big")
+    ).address
+    sc = native.NativeScanner(batch=1024)
+    dfa = compile_dfa(f"^{re.escape(addr)}$")
+    found, ops = sc.scan(2, 1024, "p2pkh", dfa)
+    assert ops == 1024
+    assert key in found

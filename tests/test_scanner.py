@@ -153,3 +153,21 @@ def test_device_failure_falls_back_to_cpu(monkeypatch):
     )
     assert len(res.matches) == 1
     assert sc._DEVICE_BROKEN is True
+
+
+def test_range_scan_doubling_degenerate_key():
+    """Key 2*base falls on the masked tx==bx doubling slot of its window
+    (deterministic when base <= batch); the host must check it so no range
+    key is skipped.  Window: start 0x100 -> base 0xFF -> key 0x1FE."""
+    key = 0x1FE
+    addr = AddressGenerator(AddressFormat.P2PKH).generate(
+        key.to_bytes(32, "big")
+    ).address
+    import re
+
+    pat = Pattern(f"^{re.escape(addr)}$")
+    res = sc.scan_with_progress(
+        pat, config(format=AddressFormat.P2PKH, start=0x100, end=0x1FF)
+    )
+    assert [m.hex for m in res.matches] == [key.to_bytes(32, "big").hex()]
+    assert res.operations == 0x100  # every key in the range counted

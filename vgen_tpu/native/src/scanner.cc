@@ -243,12 +243,34 @@ void scan_worker(int fmt, const unsigned char* start_key,
     scalar_add_u64(kbuf, pos);
     Aff base;
     scalar_mul_g(base, kbuf);  // one scalar-mult per batch (amortized)
+    // batch_affine_add masks its dx == 0 doubling slot (j == base scalar,
+    // key 2*base) -- deterministic when base < n (tiny-range scans).
+    // Recompute that one point exactly via jac_double.
+    std::uint64_t base_u64 = 0;
+    bool base_small = true;
+    for (int i = 0; i < 24; i++)
+      if (kbuf[i]) { base_small = false; break; }
+    if (base_small)
+      for (int i = 24; i < 32; i++) base_u64 = (base_u64 << 8) | kbuf[i];
+    const int dj = (base_small && base_u64 >= 1 &&
+                    base_u64 <= (std::uint64_t)(n - 1))
+                       ? (int)base_u64
+                       : -1;
     // key j in [0, n): P = base + j*G; j = 0 is base itself
     derive_and_match(fmt, base, dfa, pos, sink);
     if (n > 1) {
       batch_affine_add(pts, base, tables->ig.data(), n - 1);
       for (int j = 1; j < n; j++) {
-        derive_and_match(fmt, pts[j - 1], dfa, pos + j, sink);
+        if (j == dj) {
+          Jac q;
+          jac_from_affine(q, base);
+          jac_double(q, q);
+          Aff qa;
+          jac_to_affine(qa, q);
+          derive_and_match(fmt, qa, dfa, pos + j, sink);
+        } else {
+          derive_and_match(fmt, pts[j - 1], dfa, pos + j, sink);
+        }
       }
     }
     ops->fetch_add(n, std::memory_order_relaxed);

@@ -366,8 +366,20 @@ class DeviceScanner:
             for k, base_scalar in enumerate(base_scalars):
                 count = int(arr[k, 0])
                 total_ops += int(arr[k, 1])
-                if count > 0:
-                    for idx in sorted(int(i) for i in arr[k, 2:] if i >= 0):
+                idxs = sorted(int(i) for i in arr[k, 2:] if i >= 0)
+                # the device masks the tx == bx doubling slot (key == 2*base)
+                # as invalid -- deterministic when base <= batch (tiny-range
+                # scans, e.g. low Bitcoin Puzzles), vanishing otherwise.
+                # Check that one key on the host so no range key is skipped.
+                if 1 <= base_scalar <= self.batch and (
+                    not is_range or 2 * base_scalar <= end_key
+                ):
+                    dj = base_scalar - 1  # key0 = base+1+dj = 2*base
+                    if dj not in idxs:
+                        idxs = sorted(idxs + [dj])
+                    total_ops += 6 if glv else 1
+                if idxs:
+                    for idx in idxs:
                         if len(matches) >= target:
                             break
                         key0 = base_scalar + 1 + idx
