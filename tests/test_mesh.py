@@ -77,3 +77,51 @@ def test_mesh_range_remaining_mask():
     )
     assert res.matches == []
     assert res.operations == n_keys
+
+
+def test_mesh_scan_checkpoint_resume(tmp_path):
+    """Interrupt a mesh range scan via max_super_batches, resume from the
+    checkpoint, and match an uninterrupted run exactly."""
+    from vgen_tpu.scan.checkpoint import CheckpointManager
+
+    pat = Pattern("^1B")
+    start, end = 0x100, 0x100 + 5 * 8 * BATCH - 1  # 5 super-batches
+
+    sc = MeshScanner(AddressFormat.P2PKH, BATCH)
+    full = sc.scan(pat, count=0, start=start, end=end)
+    expected = sorted(m.address for m in full.matches)
+    assert expected
+
+    def mgr():
+        return CheckpointManager(
+            str(tmp_path / "mesh.json"), pattern="^1B", fmt="p2pkh",
+            start=start, end=end, save_interval_secs=0.0,
+        )
+
+    partial = sc.scan(
+        pat, count=0, start=start, end=end, checkpoint=mgr(),
+        max_super_batches=2,
+    )
+    assert partial.operations == 2 * 8 * BATCH
+
+    resumed = sc.scan(pat, count=0, start=start, end=end, checkpoint=mgr())
+    assert resumed.operations == full.operations
+    assert sorted(m.address for m in resumed.matches) == expected
+
+
+def test_mesh_scan_pipelined_matches_unpipelined():
+    """in_flight=3 must visit exactly the same keys as in_flight=1."""
+    key = 0x54321
+    addr = AddressGenerator(AddressFormat.P2PKH).generate(
+        key.to_bytes(32, "big")
+    ).address
+    sc = MeshScanner(AddressFormat.P2PKH, BATCH)
+    for n in (1, 3):
+        res = sc.scan(
+            Pattern(f"^{re.escape(addr)}$"), count=0,
+            start=0x54000, end=0x54000 + 4 * 8 * BATCH - 1, in_flight=n,
+        )
+        assert [m.hex for m in res.matches] == [
+            key.to_bytes(32, "big").hex()
+        ]
+        assert res.operations == 4 * 8 * BATCH

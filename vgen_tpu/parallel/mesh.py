@@ -193,18 +193,19 @@ class MeshScanner:
         by = jax.device_put(jnp.asarray(_ints_to_limbs(ys)), self._sharding_d)
         return bx, by
 
-    def run_super_batch(self, pattern: Pattern, base_scalar: int,
-                        remaining_total: Optional[int] = None,
-                        allow_glv: bool = False):
-        """Scan keys [base_scalar+1, base_scalar + N*B] across the mesh.
+    def submit_super_batch(self, pattern: Pattern, base_scalar: int,
+                           remaining_total: Optional[int] = None,
+                           allow_glv: bool = False):
+        """Dispatch one super-batch over the mesh WITHOUT blocking on the
+        result (JAX async dispatch): returns device arrays (per_dev_counts,
+        per_dev_indices, per_dev_ops, total_count, total_ops).  Convert to
+        numpy (or call run_super_batch) to block.
 
-        Interval-compilable patterns take the range-compare fast path; with
-        allow_glv (random scans) GLV-capable formats check the 6
-        endomorphism variants per position (self.glv_active records the
-        choice -- the caller must then re-derive all variants of an index).
-
-        Returns (per_dev_counts (N,), per_dev_indices (N,K), per_dev_ops,
-        total_count, total_ops) as numpy."""
+        Scans keys [base_scalar+1, base_scalar + N*B].  Interval-compilable
+        patterns take the range-compare fast path; with allow_glv (random
+        scans) GLV-capable formats check the 6 endomorphism variants per
+        position (self.glv_active records the choice -- the caller must then
+        re-derive all variants of an index)."""
         import jax.numpy as jnp
 
         from vgen_tpu.ops import pipeline
@@ -259,6 +260,16 @@ class MeshScanner:
                 rem,
                 *self.extras,
             )
+        return counts, indices, ops, total_count, total_ops
+
+    def run_super_batch(self, pattern: Pattern, base_scalar: int,
+                        remaining_total: Optional[int] = None,
+                        allow_glv: bool = False):
+        """submit_super_batch + block: numpy (counts, indices, ops,
+        total_count, total_ops)."""
+        counts, indices, ops, total_count, total_ops = self.submit_super_batch(
+            pattern, base_scalar, remaining_total, allow_glv
+        )
         return (
             np.asarray(counts),
             np.asarray(indices),
@@ -276,63 +287,128 @@ class MeshScanner:
         progress_callback=None,
         stop_flag=None,
         max_super_batches: Optional[int] = None,
+        checkpoint=None,
+        in_flight: int = 2,
     ):
-        """Multi-device scan -> scan.scanner.ScanResult."""
-        import secrets as _secrets
+        """Multi-device scan -> scan.scanner.ScanResult.
 
-        from vgen_tpu.scan.scanner import ScanResult, StopFlag
+        Pipelined like scan.scanner.DeviceScanner: up to ``in_flight``
+        super-batches are dispatched before the first is drained, so mesh
+        compute overlaps host re-derivation (the double-buffering the
+        reference does with two GPU frames, gpu.rs:399,973-995).  For range
+        scans a scan.checkpoint.CheckpointManager persists the per-mesh
+        cursor (contiguous-completed prefix) and found keys."""
+        import secrets as _secrets
+        from collections import deque
+
+        from vgen_tpu.scan.scanner import (
+            ScanResult, StopFlag, _derive_checked,
+        )
 
         stride = self.batch * self.n_devices
         is_range = start is not None
+        ckpt = checkpoint if is_range else None
+        gen = AddressGenerator(self.fmt)
+        matches = []
+        total_ops = 0
         if is_range:
             next_key = max(start, 2)
             end_key = min(end if end is not None else ec.N - 1, ec.N - 1)
+            if ckpt is not None:
+                state = ckpt.load()
+                if state is not None:
+                    next_key = max(next_key, state["next_key"])
+                    total_ops = state["operations"]
+                    for k in state["match_keys"]:
+                        ga = _derive_checked(k, self.fmt, gen)
+                        if ga is not None:
+                            matches.append(ga)
         else:
             next_key = 2 + _secrets.randbelow(ec.N - stride - 3)
             end_key = None
-
-        gen = AddressGenerator(self.fmt)
         stop = stop_flag or StopFlag()
         target = count if count > 0 else float("inf")
-        matches = []
-        total_ops = 0
         batches = 0
+        inflight = deque()
         t0 = time.time()
 
-        while not stop.is_set() and len(matches) < target:
+        def submit():
+            nonlocal next_key, batches
             if is_range and next_key > end_key:
-                break
+                return False
             if max_super_batches is not None and batches >= max_super_batches:
-                break
+                return False
             base_scalar = next_key - 1
             remaining = end_key - next_key + 1 if is_range else None
-            counts, indices, ops, total_count, ops_sum = self.run_super_batch(
+            out = self.submit_super_batch(
                 pattern, base_scalar, remaining, allow_glv=not is_range
             )
+            inflight.append((base_scalar, out))
             batches += 1
-            total_ops += ops_sum
-            if total_count > 0:
-                for d in range(self.n_devices):
-                    for idx in sorted(int(i) for i in indices[d] if i >= 0):
+            nk = next_key + stride
+            if not is_range and nk + 2 * stride >= ec.N:
+                nk = 2 + _secrets.randbelow(ec.N // 2)  # wrap: restart randomly
+            next_key = nk
+            return True
+
+        def drain_one():
+            nonlocal total_ops
+            base_scalar, out = inflight.popleft()
+            counts, indices, ops, total_count, ops_sum = out
+            indices = np.asarray(indices)  # blocks on the super-batch
+            total_ops += int(ops_sum)
+            for d in range(self.n_devices):
+                base_d = base_scalar + d * self.batch
+                idxs = sorted(int(i) for i in indices[d] if i >= 0)
+                # host-check the masked tx == bx doubling slot
+                # (key == 2*base_d; deterministic when base_d <= batch --
+                # see scan.scanner drain_one)
+                if 1 <= base_d <= self.batch and (
+                    not is_range or 2 * base_d <= end_key
+                ):
+                    dj = base_d - 1
+                    if dj not in idxs:
+                        idxs = sorted(idxs + [dj])
+                    total_ops += 6 if self.glv_active else 1
+                for idx in idxs:
+                    if len(matches) >= target:
+                        break
+                    key0 = base_d + 1 + idx
+                    cands = (
+                        ec.glv_variant_keys(key0)
+                        if self.glv_active else [key0]
+                    )
+                    for key in cands:
                         if len(matches) >= target:
                             break
-                        key0 = base_scalar + d * self.batch + 1 + idx
-                        cands = (
-                            ec.glv_variant_keys(key0)
-                            if self.glv_active else [key0]
-                        )
-                        from vgen_tpu.scan.scanner import _derive_checked
-
-                        for key in cands:
-                            if len(matches) >= target:
-                                break
-                            ga = _derive_checked(key, self.fmt, gen)
-                            if ga is not None and pattern.matches(ga.address):
-                                matches.append(ga)
+                        ga = _derive_checked(key, self.fmt, gen)
+                        if ga is not None and pattern.matches(ga.address):
+                            matches.append(ga)
+            if ckpt is not None:
+                done_end = base_scalar + stride
+                ckpt.advance(
+                    min(done_end + 1, end_key + 1), total_ops,
+                    [int(m.hex, 16) for m in matches],
+                )
             if progress_callback:
                 progress_callback(total_ops)
-            next_key += stride
 
+        while True:
+            if stop.is_set() or len(matches) >= target:
+                break
+            while len(inflight) < max(1, in_flight):
+                if not submit():
+                    break
+            if not inflight:
+                break  # range exhausted or batch budget reached
+            drain_one()
+
+        # drain remaining in-flight batches (their matches still count)
+        while inflight and len(matches) < target:
+            drain_one()
+
+        if ckpt is not None:
+            ckpt.finalize()
         return ScanResult(
             matches=matches, operations=total_ops,
             elapsed_secs=time.time() - t0,
