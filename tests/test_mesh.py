@@ -125,3 +125,21 @@ def test_mesh_scan_pipelined_matches_unpipelined():
             key.to_bytes(32, "big").hex()
         ]
         assert res.operations == 4 * 8 * BATCH
+
+
+def test_scan_with_progress_mesh_routing():
+    """ScanConfig(mesh=True) routes the public scan API over the mesh."""
+    from vgen_tpu.scan import scanner as sc
+
+    key = 0x2BEEF
+    addr = AddressGenerator(AddressFormat.P2PKH).generate(
+        key.to_bytes(32, "big")
+    ).address
+    res = sc.scan_with_progress(
+        Pattern(f"^{re.escape(addr)}$"),
+        sc.ScanConfig(
+            format=AddressFormat.P2PKH, device_batch_size=BATCH,
+            start=0x2B000, end=0x2C000, mesh=True,
+        ),
+    )
+    assert [m.hex for m in res.matches] == [key.to_bytes(32, "big").hex()]

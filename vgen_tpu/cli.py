@@ -242,6 +242,14 @@ def resolve_use_device(backend: str, no_device: bool,
             raise SystemExit(2)
         return False
 
+    # multi-host bootstrap must precede the first backend touch (the probe)
+    try:
+        from vgen_tpu.parallel import distributed
+
+        distributed.initialize()
+    except Exception as e:
+        print(f"Warning: jax.distributed init failed: {e}", file=sys.stderr)
+
     timeout = float(os.environ.get("VGEN_TPU_DEVICE_TIMEOUT", "60"))
     probe: dict = {}
 

@@ -35,6 +35,20 @@ def make_mesh(devices=None):
     return Mesh(np.array(devices), axis_names=("d",))
 
 
+def _put_global(arr, sharding):
+    """Place a host-identical numpy array onto a (possibly multi-host)
+    sharding: every process computes the full array and contributes only
+    its addressable shards."""
+    import jax
+
+    if jax.process_count() > 1:
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+    return jax.device_put(arr, sharding)
+
+
 @functools.lru_cache(maxsize=8)
 def _sharded_step(fmt: AddressFormat, n_devices: int, chain_len: int,
                   has_extras: bool, mesh_key: int, unroll: bool = False,
@@ -61,13 +75,15 @@ def _sharded_step(fmt: AddressFormat, n_devices: int, chain_len: int,
         )
         res = tail(x3, y3, valid, dfa_flat, dfa_accept, start, remaining[0],
                    *extras)
-        # global reductions over the mesh (ICI collectives)
+        # global reductions over the mesh (ICI collectives); per-device
+        # results are all-gathered so EVERY host (multi-host meshes) can
+        # re-derive every match from its addressable shards
         total_count = jax.lax.psum(res.count, "d")
         total_ops = jax.lax.psum(res.ops, "d")
         return (
-            res.count[None],
-            res.indices[None],
-            res.ops[None],
+            jax.lax.all_gather(res.count, "d"),
+            jax.lax.all_gather(res.indices, "d"),
+            jax.lax.all_gather(res.ops, "d"),
             total_count,
             total_ops,
         )
@@ -77,7 +93,7 @@ def _sharded_step(fmt: AddressFormat, n_devices: int, chain_len: int,
         mesh=mesh,
         in_specs=(P("d"), P("d"), P(), P(), P(), P(), P(), P("d"))
         + extra_specs,
-        out_specs=(P("d"), P("d"), P("d"), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
     )
     try:
         fn = shard_map(local_step, check_vma=False, **kwargs)
@@ -113,9 +129,9 @@ def _sharded_range_step(fmt: AddressFormat, glv: bool, n_devices: int,
         total_count = jax.lax.psum(res.count, "d")
         total_ops = jax.lax.psum(res.ops, "d")
         return (
-            res.count[None],
-            res.indices[None],
-            res.ops[None],
+            jax.lax.all_gather(res.count, "d"),
+            jax.lax.all_gather(res.indices, "d"),
+            jax.lax.all_gather(res.ops, "d"),
             total_count,
             total_ops,
         )
@@ -124,7 +140,7 @@ def _sharded_range_step(fmt: AddressFormat, glv: bool, n_devices: int,
     kwargs = dict(
         mesh=mesh,
         in_specs=(P("d"), P("d"), P(), P(), P(), P(), P("d")) + extra_specs,
-        out_specs=(P("d"), P("d"), P("d"), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
     )
     try:
         fn = shard_map(local_step, check_vma=False, **kwargs)
@@ -169,12 +185,12 @@ class MeshScanner:
 
         replicated = NamedSharding(self.mesh, P())
         tx, ty = tables.ig_table_limbs(batch_size)
-        self.tx = jax.device_put(jnp.asarray(tx), replicated)
-        self.ty = jax.device_put(jnp.asarray(ty), replicated)
+        self.tx = _put_global(np.asarray(tx), replicated)
+        self.ty = _put_global(np.asarray(ty), replicated)
         self.extras = ()
         if fmt == AddressFormat.P2TR:
             wt = tables.window_table_u32(8)
-            self.extras = (jax.device_put(jnp.asarray(wt), replicated),)
+            self.extras = (_put_global(np.asarray(wt), replicated),)
         self._sharding_d = NamedSharding(self.mesh, P("d"))
         self._replicated = replicated
 
@@ -189,8 +205,8 @@ class MeshScanner:
             pt = ec.scalar_mult_base_fast(s)
             xs.append(pt[0])
             ys.append(pt[1])
-        bx = jax.device_put(jnp.asarray(_ints_to_limbs(xs)), self._sharding_d)
-        by = jax.device_put(jnp.asarray(_ints_to_limbs(ys)), self._sharding_d)
+        bx = _put_global(np.asarray(_ints_to_limbs(xs)), self._sharding_d)
+        by = _put_global(np.asarray(_ints_to_limbs(ys)), self._sharding_d)
         return bx, by
 
     def submit_super_batch(self, pattern: Pattern, base_scalar: int,
@@ -305,9 +321,16 @@ class MeshScanner:
             ScanResult, StopFlag, _derive_checked,
         )
 
+        import jax
+
         stride = self.batch * self.n_devices
         is_range = start is not None
-        ckpt = checkpoint if is_range else None
+        # multi-host: every process sees every match (indices are
+        # all-gathered over the mesh), so only process 0 persists cursors
+        ckpt = (
+            checkpoint
+            if is_range and jax.process_index() == 0 else None
+        )
         gen = AddressGenerator(self.fmt)
         matches = []
         total_ops = 0

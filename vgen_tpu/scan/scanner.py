@@ -80,6 +80,8 @@ class ScanConfig:
     in_flight: int = 4  # pipelined batches (generalizes the reference's 2
     # double-buffered Frames; deeper here to hide device-tunnel RTT)
     checkpoint: Optional[object] = None  # scan.checkpoint.CheckpointManager
+    mesh: Optional[bool] = None  # None = auto: shard over all devices when
+    # more than one accelerator chip is visible; True/False force it
 
 
 @dataclass
@@ -601,6 +603,41 @@ _scanner_cache = {}
 _DEVICE_BROKEN = False  # set after a device failure; later scans go CPU
 
 
+def _use_mesh(config: ScanConfig) -> bool:
+    """Shard over all chips when more than one is visible (the reference is
+    single-GPU; a TPU slice is the first-class multi-device target here)."""
+    if config.mesh is not None:
+        return config.mesh
+    import jax
+
+    devs = jax.devices()
+    return len(devs) > 1 and devs[0].platform != "cpu"
+
+
+def _scan_mesh(
+    pattern: Pattern,
+    config: ScanConfig,
+    progress_callback: Optional[ProgressCallback],
+    stop_flag: Optional[StopFlag],
+) -> ScanResult:
+    from vgen_tpu.parallel.mesh import MeshScanner
+
+    batch = config.device_batch_size or DEFAULT_DEVICE_BATCH
+    key = ("mesh", config.format, batch)
+    if key not in _scanner_cache:
+        _scanner_cache[key] = MeshScanner(config.format, batch)
+    return _scanner_cache[key].scan(
+        pattern,
+        count=config.count,
+        start=config.start,
+        end=config.end,
+        progress_callback=progress_callback,
+        stop_flag=stop_flag,
+        checkpoint=config.checkpoint,
+        in_flight=max(1, config.in_flight),
+    )
+
+
 def scan_with_progress(
     pattern: Pattern,
     config: ScanConfig,
@@ -613,6 +650,8 @@ def scan_with_progress(
     batch = config.device_batch_size or DEFAULT_DEVICE_BATCH
     key = (config.format, batch)
     try:
+        if _use_mesh(config):
+            return _scan_mesh(pattern, config, progress_callback, stop_flag)
         if key not in _scanner_cache:
             _scanner_cache[key] = DeviceScanner(config.format, batch)
         return _scanner_cache[key].scan(
