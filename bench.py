@@ -33,6 +33,37 @@ def main():
     chain = int(os.environ.get("VGEN_BENCH_CHAIN", 1024))
     k_sub = int(os.environ.get("VGEN_BENCH_KSUB", 8))
 
+    # a dead TPU runtime HANGS in backend init rather than raising; probe
+    # with a deadline so the driver gets an honest JSON line either way
+    import threading
+
+    probe: dict = {}
+
+    def _probe():
+        try:
+            probe["n"] = len(jax.devices())
+        except Exception as e:
+            probe["error"] = repr(e)
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(float(os.environ.get("VGEN_TPU_DEVICE_TIMEOUT", "300")))
+    if "n" not in probe:
+        print(
+            json.dumps(
+                {
+                    "metric": "keys/sec/chip (P2PKH regex scan)",
+                    "value": 0,
+                    "unit": "keys/s",
+                    "vs_baseline": 0.0,
+                    "error": probe.get(
+                        "error", "device init timed out (TPU unreachable)"
+                    ),
+                }
+            )
+        )
+        return
+
     from vgen_tpu.crypto.address import AddressFormat
     from vgen_tpu.scan.scanner import benchmark_device
 
