@@ -37,11 +37,13 @@ for k_sub in KS:
             format=AddressFormat.P2PKH, count=10**9,
             device_batch_size=B, in_flight=inflight,
         )
-        # warmup: 2 super-steps
+        # warmup: 2 super-steps (GLV steps report 6 ops per key, and the
+        # default ^1C random scan runs with GLV on)
+        glv_mult = 6
         stop = StopFlag()
 
         def cb(ops, _stop=stop, _k=k_sub):
-            if ops >= 2 * _k * B:
+            if ops >= 2 * glv_mult * _k * B:
                 _stop.set()
 
         scanner.scan(pat, cfg, cb, stop)
@@ -60,4 +62,8 @@ for k_sub in KS:
         if rate > best[0]:
             best = (rate, (k_sub, inflight))
 
-print(f"BEST: k_sub={best[1][0]} in_flight={best[1][1]} {best[0]:.1f} Mkeys/s")
+if best[1] is not None:
+    print(f"BEST: k_sub={best[1][0]} in_flight={best[1][1]} "
+          f"{best[0]:.1f} Mkeys/s")
+else:
+    print("BEST: no configuration produced a nonzero rate")

@@ -143,3 +143,16 @@ def test_scan_with_progress_mesh_routing():
         ),
     )
     assert [m.hex for m in res.matches] == [key.to_bytes(32, "big").hex()]
+
+
+def test_mesh_range_reports_all_matches_beyond_topk():
+    """Windows whose match count exceeds the TOP_K index slots must be
+    recovered in full on the mesh drain path too."""
+    sc = MeshScanner(AddressFormat.P2PKH, BATCH)
+    start = 7000
+    n_keys = 8 * BATCH + 100  # second super-batch partially filled
+    res = sc.scan(Pattern("^1"), count=0, start=start,
+                  end=start + n_keys - 1)
+    assert res.operations == n_keys
+    keys = sorted(int(m.hex, 16) for m in res.matches)
+    assert keys == list(range(start, start + n_keys))

@@ -171,3 +171,38 @@ def test_range_scan_doubling_degenerate_key():
     )
     assert [m.hex for m in res.matches] == [key.to_bytes(32, "big").hex()]
     assert res.operations == 0x100  # every key in the range counted
+
+
+def test_range_scan_reports_all_matches_beyond_topk():
+    """Every P2PKH address starts with '1': a full window of matches
+    overflows the TOP_K=16 packed index slots and must trigger the
+    full-mask recovery (reference reports every match, gpu.rs:1030-1093)."""
+    res = sc.scan_with_progress(
+        Pattern("^1"),
+        config(format=AddressFormat.P2PKH, start=1000, end=1299, count=0),
+    )
+    assert res.operations == 300
+    keys = sorted(int(m.hex, 16) for m in res.matches)
+    assert keys == list(range(1000, 1300))
+
+
+def test_range_scan_dfa_path_beyond_topk():
+    """Unanchored pattern (no interval compilation -> DFA path) with a full
+    window of matches: full-mask recovery on the DFA tail."""
+    res = sc.scan_with_progress(
+        Pattern("1"),
+        config(format=AddressFormat.P2PKH, start=500, end=500 + BATCH - 1,
+               count=0),
+    )
+    keys = sorted(int(m.hex, 16) for m in res.matches)
+    assert keys == list(range(500, 500 + BATCH))
+
+
+def test_random_scan_beyond_topk():
+    """Random scan where every key matches: the drain must surface more
+    than TOP_K matches from a single window."""
+    res = sc.scan_with_progress(
+        Pattern("^1"), config(format=AddressFormat.P2PKH, count=40)
+    )
+    assert len(res.matches) == 40
+    assert all(m.address.startswith("1") for m in res.matches)

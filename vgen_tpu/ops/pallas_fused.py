@@ -316,6 +316,29 @@ def fused_scan_step(fmt: AddressFormat, batch: int, n_states: int,
     return step
 
 
+@functools.lru_cache(maxsize=16)
+def fused_scan_mask_step(fmt: AddressFormat, batch: int, n_states: int,
+                         chain_len: int = 256, tile: int = DEFAULT_TILE,
+                         glv: bool = False):
+    """Full-mask variant of fused_scan_step for >TOP_K overflow recovery:
+    (bx (1,16), by (1,16), tx, ty, dfa_f32, accept_f32, start,
+    remaining (1,)) -> (1, batch) int32 match mask."""
+    match_fn = fused_match_fn(fmt, batch, n_states, tile, glv)
+
+    def _tail_one(bx, by, tx, ty, inv_dx, remaining, dfa_f32, accept_f32,
+                  start):
+        return match_fn(
+            start, remaining, bx, by, tx, ty, inv_dx, dfa_f32, accept_f32
+        )[0]
+
+    built = _build_step(_tail_one, batch, chain_len, k_sub=1)
+
+    def step(bx, by, tx, ty, dfa_f32, accept_f32, start, remaining):
+        return built(bx, by, tx, ty, remaining, dfa_f32, accept_f32, start)
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # Interval (anchored-prefix) fast path: hash160 range compare instead of
 # encode+DFA (pattern/intervals.py).  Tail work per key drops to
@@ -463,6 +486,26 @@ def fused_range_scan_step(fmt: AddressFormat, batch: int,
         return _pack_tail(match, remaining, batch, ops_mult=6 if glv else 1)
 
     built = _build_step(_tail_one, batch, chain_len, k_sub)
+
+    def step(bx, by, tx, ty, lo, hi, remaining):
+        return built(bx, by, tx, ty, remaining, lo, hi)
+
+    return step
+
+
+@functools.lru_cache(maxsize=16)
+def fused_range_mask_step(fmt: AddressFormat, batch: int,
+                          chain_len: int = 256, tile: int = DEFAULT_TILE,
+                          glv: bool = False):
+    """Full-mask variant of fused_range_scan_step for >TOP_K overflow
+    recovery: (bx (1,16), by (1,16), tx, ty, lo, hi, remaining (1,)) ->
+    (1, batch) int32 match/variant mask."""
+    match_fn = fused_range_match_fn(fmt, batch, tile, glv)
+
+    def _tail_one(bx, by, tx, ty, inv_dx, remaining, lo, hi):
+        return match_fn(remaining, lo, hi, bx, by, tx, ty, inv_dx)[0]
+
+    built = _build_step(_tail_one, batch, chain_len, k_sub=1)
 
     def step(bx, by, tx, ty, lo, hi, remaining):
         return built(bx, by, tx, ty, remaining, lo, hi)

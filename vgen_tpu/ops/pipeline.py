@@ -326,17 +326,17 @@ def xla_tail_unroll() -> bool:
         return False
 
 
-def make_format_tail(fmt: AddressFormat, unroll: bool = False,
+def make_format_mask(fmt: AddressFormat, unroll: bool = False,
                      glv: bool = False):
-    """Hash+encode+match stage: (x3, y3, valid, dfa_flat, dfa_accept, start,
-    remaining, *extras) -> StepResult.  start/remaining are traced scalars.
+    """Hash+encode+match mask stage: (x3, y3, valid, dfa_flat, dfa_accept,
+    start, remaining, *extras) -> (matched (B,) bool, valid (B,) bool).
 
-    glv=True: DFA-matches all 6 GLV endomorphism variants {±k, ±λk, ±λ²k}
-    of each window key (6 keys per EC add -- the same amortization the
-    interval path uses, extended to arbitrary regex patterns)."""
+    ``matched`` already includes the validity/remaining mask; ``valid`` is
+    the ops-counting mask (pre-P2TR-tweak refinement, matching how the scan
+    loop reports operations)."""
     width = FORMAT_DFA_WIDTH[fmt]
 
-    def tail(x3, y3, valid, dfa_flat, dfa_accept, start, remaining, *extras):
+    def mask(x3, y3, valid, dfa_flat, dfa_accept, start, remaining, *extras):
         B = x3.shape[1]
         idx = jnp.arange(B, dtype=jnp.int32)
         valid = valid & (idx < remaining)
@@ -361,37 +361,61 @@ def make_format_tail(fmt: AddressFormat, unroll: bool = False,
                         dfa_flat, dfa_accept, start, width, syms, length
                     )
                     matched = matched | m.astype(bool)
-            matched = matched & valid
-            count = jnp.sum(matched.astype(jnp.int32))
-            scores = jnp.where(matched, idx, jnp.int32(-1))
-            top, _ = jax.lax.top_k(scores, TOP_K)
-            ops = jnp.sum(valid.astype(jnp.int32)) * jnp.int32(6)
-            return StepResult(count=count, indices=top, ops=ops)
+            return matched & valid, valid
 
         if fmt == AddressFormat.P2TR:
-            syms, length, valid = symbols_p2tr(x3, y3, extras[0], valid,
-                                               unroll=unroll)
-        elif fmt == AddressFormat.P2PKH:
-            syms, length = symbols_p2pkh(x3, y3, unroll=unroll)
-        elif fmt == AddressFormat.P2PKH_UNCOMPRESSED:
-            syms, length = symbols_p2pkh_uncompressed(x3, y3, unroll=unroll)
-        elif fmt == AddressFormat.P2WPKH:
-            syms, length = symbols_p2wpkh(x3, y3, unroll=unroll)
-        elif fmt == AddressFormat.P2SH_P2WPKH:
-            syms, length = symbols_p2sh_p2wpkh(x3, y3, unroll=unroll)
-        elif fmt == AddressFormat.ETHEREUM:
-            syms, length = symbols_ethereum(x3, y3, unroll=unroll)
-        else:  # pragma: no cover
-            raise AssertionError(fmt)
+            syms, length, mvalid = symbols_p2tr(x3, y3, extras[0], valid,
+                                                unroll=unroll)
+        else:
+            mvalid = valid
+            if fmt == AddressFormat.P2PKH:
+                syms, length = symbols_p2pkh(x3, y3, unroll=unroll)
+            elif fmt == AddressFormat.P2PKH_UNCOMPRESSED:
+                syms, length = symbols_p2pkh_uncompressed(x3, y3,
+                                                          unroll=unroll)
+            elif fmt == AddressFormat.P2WPKH:
+                syms, length = symbols_p2wpkh(x3, y3, unroll=unroll)
+            elif fmt == AddressFormat.P2SH_P2WPKH:
+                syms, length = symbols_p2sh_p2wpkh(x3, y3, unroll=unroll)
+            elif fmt == AddressFormat.ETHEREUM:
+                syms, length = symbols_ethereum(x3, y3, unroll=unroll)
+            else:  # pragma: no cover
+                raise AssertionError(fmt)
 
-        matched = match_symbols(dfa_flat, dfa_accept, start, width, syms, length)
-        matched = matched.astype(bool) & valid
+        matched = match_symbols(dfa_flat, dfa_accept, start, width, syms,
+                                length)
+        return matched.astype(bool) & mvalid, mvalid
 
-        count = jnp.sum(matched.astype(jnp.int32))
-        scores = jnp.where(matched, idx, jnp.int32(-1))
-        top, _ = jax.lax.top_k(scores, TOP_K)
-        ops = jnp.sum(valid.astype(jnp.int32))
-        return StepResult(count=count, indices=top, ops=ops)
+    return mask
+
+
+def mask_to_result(matched, valid, ops_mult: int = 1) -> "StepResult":
+    """(matched, valid) masks -> packed StepResult (count, top-K, ops)."""
+    B = matched.shape[0]
+    idx = jnp.arange(B, dtype=jnp.int32)
+    count = jnp.sum(matched.astype(jnp.int32))
+    scores = jnp.where(matched, idx, jnp.int32(-1))
+    top, _ = jax.lax.top_k(scores, TOP_K)
+    ops = jnp.sum(valid.astype(jnp.int32)) * jnp.int32(ops_mult)
+    return StepResult(count=count, indices=top, ops=ops)
+
+
+def make_format_tail(fmt: AddressFormat, unroll: bool = False,
+                     glv: bool = False):
+    """Hash+encode+match stage: (x3, y3, valid, dfa_flat, dfa_accept, start,
+    remaining, *extras) -> StepResult.  start/remaining are traced scalars.
+
+    glv=True: DFA-matches all 6 GLV endomorphism variants {±k, ±λk, ±λ²k}
+    of each window key (6 keys per EC add -- the same amortization the
+    interval path uses, extended to arbitrary regex patterns)."""
+    mask = make_format_mask(fmt, unroll, glv)
+
+    def tail(x3, y3, valid, dfa_flat, dfa_accept, start, remaining, *extras):
+        matched, mvalid = mask(x3, y3, valid, dfa_flat, dfa_accept, start,
+                               remaining, *extras)
+        # GLV ops count uses the pre-refinement valid mask (6 keys per add);
+        # the non-GLV P2TR path reports post-tweak-validity ops
+        return mask_to_result(matched, mvalid, 6 if glv else 1)
 
     return tail
 
@@ -620,32 +644,38 @@ def glv_interval_mask(fmt: AddressFormat, x3, y3, lo, hi,
     return mask
 
 
+def make_range_mask(fmt: AddressFormat, glv: bool = False,
+                    unroll: bool = False):
+    """Interval-matching mask stage: (x3, y3, valid, lo, hi, remaining,
+    *extras) -> (matched (B,) bool, valid (B,) bool)."""
+
+    def mask(x3, y3, valid, lo, hi, remaining, *extras):
+        B = x3.shape[1]
+        idx = jnp.arange(B, dtype=jnp.int32)
+        valid = valid & (idx < remaining)
+        if glv:
+            assert fmt in GLV_FORMATS, fmt
+            vmask = glv_interval_mask(fmt, x3, y3, lo, hi, unroll=unroll)
+            return (vmask > 0) & valid, valid
+        words, ok = interval_value_words(fmt, x3, y3, *extras, unroll=unroll)
+        if ok is not None:
+            valid = valid & ok
+        return in_intervals(words, lo, hi) & valid, valid
+
+    return mask
+
+
 def make_range_tail(fmt: AddressFormat, glv: bool = False,
                     unroll: bool = False):
     """Interval-matching tail: (x3, y3, valid, lo, hi, remaining, *extras)
     -> StepResult.  The XLA counterpart of the fused Pallas range kernel --
     used on non-TPU backends and under shard_map on device meshes
     (unroll=True selects the word-path hashes there)."""
+    mask = make_range_mask(fmt, glv, unroll)
 
     def tail(x3, y3, valid, lo, hi, remaining, *extras):
-        B = x3.shape[1]
-        idx = jnp.arange(B, dtype=jnp.int32)
-        valid = valid & (idx < remaining)
-        if glv:
-            assert fmt in GLV_FORMATS, fmt
-            mask = glv_interval_mask(fmt, x3, y3, lo, hi, unroll=unroll)
-            matched = (mask > 0) & valid
-        else:
-            words, ok = interval_value_words(fmt, x3, y3, *extras,
-                                             unroll=unroll)
-            if ok is not None:
-                valid = valid & ok
-            matched = in_intervals(words, lo, hi) & valid
-        count = jnp.sum(matched.astype(jnp.int32))
-        scores = jnp.where(matched, idx, jnp.int32(-1))
-        top, _ = jax.lax.top_k(scores, TOP_K)
-        ops = jnp.sum(valid.astype(jnp.int32)) * (6 if glv else 1)
-        return StepResult(count=count, indices=top, ops=ops)
+        matched, mvalid = mask(x3, y3, valid, lo, hi, remaining, *extras)
+        return mask_to_result(matched, mvalid, 6 if glv else 1)
 
     return tail
 
@@ -661,6 +691,55 @@ def run_range_scan_step(fmt, bx, by, tx, ty, lo, hi, remaining,
     """Convenience wrapper: shared points stage + interval tail."""
     x3, y3, valid = jitted_points_step(chain_len)(bx, by, tx, ty)
     return jitted_range_tail(fmt, glv, xla_tail_unroll())(
+        x3, y3, valid, jnp.asarray(lo), jnp.asarray(hi),
+        jnp.int32(remaining), *extras
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full-mask recovery: when a window matches more than TOP_K keys, the packed
+# result's index slots truncate (the count does not).  The scanners re-run
+# the window through these mask steps and pull the complete (B,) match
+# vector to the host -- a rare extra dispatch + ~2 MB transfer instead of
+# silently dropping matches (the reference reports every match per batch,
+# gpu.rs:1030-1093).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_format_mask(fmt: AddressFormat, unroll: bool = False,
+                        glv: bool = False):
+    mask = make_format_mask(fmt, unroll, glv)
+    return jax.jit(
+        lambda *a: mask(*a)[0].astype(jnp.int32)
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_range_mask(fmt: AddressFormat, glv: bool = False,
+                       unroll: bool = False):
+    mask = make_range_mask(fmt, glv, unroll)
+    return jax.jit(
+        lambda *a: mask(*a)[0].astype(jnp.int32)
+    )
+
+
+def run_scan_mask(fmt, bx, by, tx, ty, dfa_flat, dfa_accept, start,
+                  remaining, extras=(), chain_len: int = 256,
+                  glv: bool = False):
+    """Full (B,) int32 match mask for one window (DFA path)."""
+    x3, y3, valid = jitted_points_step(chain_len)(bx, by, tx, ty)
+    return _jitted_format_mask(fmt, xla_tail_unroll(), glv)(
+        x3, y3, valid, dfa_flat, dfa_accept, jnp.int32(start),
+        jnp.int32(remaining), *extras
+    )
+
+
+def run_range_scan_mask(fmt, bx, by, tx, ty, lo, hi, remaining,
+                        extras=(), chain_len: int = 256, glv: bool = False):
+    """Full (B,) int32 match mask for one window (interval path)."""
+    x3, y3, valid = jitted_points_step(chain_len)(bx, by, tx, ty)
+    return _jitted_range_mask(fmt, glv, xla_tail_unroll())(
         x3, y3, valid, jnp.asarray(lo), jnp.asarray(hi),
         jnp.int32(remaining), *extras
     )

@@ -152,11 +152,66 @@ def _sharded_range_step(fmt: AddressFormat, glv: bool, n_devices: int,
 _MESHES = {}
 
 
+@functools.lru_cache(maxsize=8)
+def _sharded_fused_step(fmt: AddressFormat, kind: str, n_states: int,
+                        batch: int, chain_len: int, k_sub: int,
+                        glv: bool, mesh_key: int):
+    """shard_map the fused Pallas scan step (ops/pallas_fused.py) over the
+    mesh: each device runs the SAME single-chip hot path (XLA inversion +
+    fused VMEM-resident Pallas tail) on its own k_sub key windows, and the
+    packed (k_sub, 18) results are all-gathered so every host can drain
+    every window.  This keeps per-chip throughput at the single-chip fused
+    rate instead of downgrading multi-chip scans to the XLA word-path tails.
+
+    kind: "range" (interval compare) or "dfa" (on-device DFA matcher).
+    Returns jitted fn(bx (D*K, 16), by, tx, ty, <matcher args>,
+    remaining (D*K,)) -> (D, K, 18) int32 packed results."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from vgen_tpu.ops import pallas_fused
+
+    mesh = _MESHES[mesh_key]
+    if kind == "range":
+        step = pallas_fused.fused_range_scan_step(
+            fmt, batch, chain_len, k_sub=k_sub, glv=glv
+        )
+
+        def local(bx, by, tx, ty, lo, hi, remaining):
+            packed = step(bx, by, tx, ty, lo, hi, remaining)
+            return jax.lax.all_gather(packed, "d")
+
+        in_specs = (P("d"), P("d"), P(), P(), P(), P(), P("d"))
+    else:
+        step = pallas_fused.fused_scan_step(
+            fmt, batch, n_states, chain_len, k_sub=k_sub, glv=glv
+        )
+
+        def local(bx, by, tx, ty, dfa_f32, acc_f32, start, remaining):
+            packed = step(bx, by, tx, ty, dfa_f32, acc_f32, start, remaining)
+            return jax.lax.all_gather(packed, "d")
+
+        in_specs = (P("d"), P("d"), P(), P(), P(), P(), P(), P("d"))
+
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=P())
+    try:
+        fn = shard_map(local, check_vma=False, **kwargs)
+    except TypeError:
+        fn = shard_map(local, check_rep=False, **kwargs)
+    return jax.jit(fn)
+
+
 class MeshScanner:
     """Data-parallel scanner over all devices of a mesh.
 
     Same scan() protocol as scan.scanner.DeviceScanner, with a key-space
-    stride of n_devices * batch per super-batch.
+    stride of n_devices * k_sub * batch per super-batch.  On accelerator
+    meshes each device runs the fused Pallas hot path on k_sub windows per
+    dispatch; the CPU backend (tests, fallback) uses the XLA tails.
     """
 
     def __init__(
@@ -165,6 +220,7 @@ class MeshScanner:
         batch_size: int = 262_144,
         chain_len: int = 256,
         mesh=None,
+        k_sub: Optional[int] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -182,6 +238,11 @@ class MeshScanner:
         # word-path (unrolled) hashes on accelerator meshes; fori_loop forms
         # on XLA:CPU (see pipeline.xla_tail_unroll)
         self._unroll = self.mesh.devices.flat[0].platform != "cpu"
+        # fused Pallas kernels are Mosaic (TPU)-only
+        self._fused_capable = self._unroll
+        self.k_sub = k_sub if k_sub is not None else (
+            8 if self._fused_capable else 1
+        )
 
         replicated = NamedSharding(self.mesh, P())
         tx, ty = tables.ig_table_limbs(batch_size)
@@ -193,6 +254,8 @@ class MeshScanner:
             self.extras = (_put_global(np.asarray(wt), replicated),)
         self._sharding_d = NamedSharding(self.mesh, P("d"))
         self._replicated = replicated
+        self._single_tables = None  # lazy single-device tables for
+        # >TOP_K overflow recovery (see _full_window_indices)
 
     def _bases(self, base_scalars: Sequence[int]):
         import jax
@@ -209,41 +272,104 @@ class MeshScanner:
         by = _put_global(np.asarray(_ints_to_limbs(ys)), self._sharding_d)
         return bx, by
 
+    def _plan(self, pattern: Pattern, allow_glv: bool):
+        """Choose the execution path for this pattern: ("frange" | "fdfa" |
+        "xrange" | "xdfa", glv, k_sub).  Fused Pallas paths (Mosaic) apply
+        on accelerator meshes for the formats ops/pallas_fused.py supports;
+        everything else uses the XLA tails with one window per device."""
+        from vgen_tpu.ops import pipeline
+
+        ivs = pattern.match_intervals(self.fmt)
+        glv = allow_glv and self.fmt in pipeline.GLV_FORMATS
+        if self._fused_capable:
+            from vgen_tpu.ops import pallas_fused
+
+            if ivs is not None and self.fmt in pallas_fused.RANGE_FORMATS:
+                return "frange", glv, self.k_sub
+            if ivs is None and self.fmt in pallas_fused.FUSED_FORMATS:
+                dev_dfa = pattern.device_dfa(self.fmt)
+                _, accept = pipeline.pad_device_dfa(dev_dfa)
+                if accept.shape[0] <= 256:
+                    return "fdfa", glv, self.k_sub
+        return ("xrange" if ivs is not None else "xdfa"), glv, 1
+
+    def windows_per_super(self, pattern: Pattern,
+                          allow_glv: bool = False) -> int:
+        """Key windows (of self.batch keys) covered by one super-batch."""
+        _, _, k = self._plan(pattern, allow_glv)
+        return self.n_devices * k
+
     def submit_super_batch(self, pattern: Pattern, base_scalar: int,
                            remaining_total: Optional[int] = None,
                            allow_glv: bool = False):
         """Dispatch one super-batch over the mesh WITHOUT blocking on the
-        result (JAX async dispatch): returns device arrays (per_dev_counts,
-        per_dev_indices, per_dev_ops, total_count, total_ops).  Convert to
-        numpy (or call run_super_batch) to block.
+        result (JAX async dispatch): returns an opaque handle; pass it to
+        drain_packed() (or call run_super_batch) to block.
 
-        Scans keys [base_scalar+1, base_scalar + N*B].  Interval-compilable
-        patterns take the range-compare fast path; with allow_glv (random
-        scans) GLV-capable formats check the 6 endomorphism variants per
-        position (self.glv_active records the choice -- the caller must then
-        re-derive all variants of an index)."""
+        Scans keys [base_scalar+1, base_scalar + W*B] where W =
+        windows_per_super(pattern): window j (device j//k_sub, slot
+        j%k_sub) covers [base_scalar + j*B + 1, base_scalar + (j+1)*B].
+        Interval-compilable patterns take the range-compare fast path; with
+        allow_glv (random scans) GLV-capable formats check the 6
+        endomorphism variants per position (self.glv_active records the
+        choice -- the caller must then re-derive all variants of an
+        index)."""
         import jax.numpy as jnp
 
         from vgen_tpu.ops import pipeline
 
+        kind, glv, k_sub = self._plan(pattern, allow_glv)
+        self.glv_active = glv
+        windows = self.n_devices * k_sub
         base_scalars = [
-            base_scalar + d * self.batch for d in range(self.n_devices)
+            base_scalar + j * self.batch for j in range(windows)
         ]
         bx, by = self._bases(base_scalars)
         if remaining_total is None:
-            rem = [self.batch] * self.n_devices
+            rem = [self.batch] * windows
         else:
             rem = [
-                max(0, min(self.batch, remaining_total - d * self.batch))
-                for d in range(self.n_devices)
+                max(0, min(self.batch, remaining_total - j * self.batch))
+                for j in range(windows)
             ]
-        rem = jnp.asarray(rem, dtype=jnp.int32)
+        rem_np = np.asarray(rem, dtype=np.int32)
 
-        ivs = pattern.match_intervals(self.fmt)
-        self.glv_active = False
-        if ivs is not None:
-            glv = allow_glv and self.fmt in pipeline.GLV_FORMATS
-            self.glv_active = glv
+        if kind in ("frange", "fdfa"):
+            # fused Pallas hot path, k_sub windows per device per dispatch;
+            # step expects per-device (K, 16) bases / (K,) remaining
+            rem_dev = _put_global(rem_np, self._sharding_d)
+            if kind == "frange":
+                ivs = pattern.match_intervals(self.fmt)
+                lo, hi = pipeline.intervals_to_words(
+                    ivs, n_slots=pipeline.interval_slot_count(len(ivs))
+                )
+                step = _sharded_fused_step(
+                    self.fmt, "range", 0, self.batch, self.chain_len,
+                    k_sub, glv, self._mesh_key,
+                )
+                packed = step(
+                    bx, by, self.tx, self.ty,
+                    jnp.asarray(lo), jnp.asarray(hi), rem_dev,
+                )
+            else:
+                dev_dfa = pattern.device_dfa(self.fmt)
+                flat, accept = pipeline.pad_device_dfa(dev_dfa)
+                S = accept.shape[0]
+                step = _sharded_fused_step(
+                    self.fmt, "dfa", S, self.batch, self.chain_len,
+                    k_sub, glv, self._mesh_key,
+                )
+                packed = step(
+                    bx, by, self.tx, self.ty,
+                    jnp.asarray(flat.reshape(S, -1).astype(np.float32)),
+                    jnp.asarray(accept.astype(np.float32).reshape(S, 1)),
+                    jnp.int32(dev_dfa.start), rem_dev,
+                )
+            return ("fused", packed)
+
+        rem_dev = _put_global(rem_np, self._sharding_d)
+        if kind == "xrange":
+            ivs = pattern.match_intervals(self.fmt)
             lo, hi = pipeline.intervals_to_words(
                 ivs, pipeline.INTERVAL_WORDS[self.fmt],
                 n_slots=pipeline.interval_slot_count(len(ivs)),
@@ -252,20 +378,18 @@ class MeshScanner:
                 self.fmt, glv, self.n_devices, self.chain_len,
                 bool(self.extras), self._mesh_key, self._unroll,
             )
-            counts, indices, ops, total_count, total_ops = step(
+            out = step(
                 bx, by, self.tx, self.ty,
-                jnp.asarray(lo), jnp.asarray(hi), rem, *self.extras,
+                jnp.asarray(lo), jnp.asarray(hi), rem_dev, *self.extras,
             )
         else:
             dev_dfa = pattern.device_dfa(self.fmt)
             flat, accept = pipeline.pad_device_dfa(dev_dfa)
-            glv = allow_glv and self.fmt in pipeline.GLV_FORMATS
-            self.glv_active = glv
             step = _sharded_step(
                 self.fmt, self.n_devices, self.chain_len, bool(self.extras),
                 self._mesh_key, self._unroll, glv,
             )
-            counts, indices, ops, total_count, total_ops = step(
+            out = step(
                 bx,
                 by,
                 self.tx,
@@ -273,25 +397,86 @@ class MeshScanner:
                 jnp.asarray(flat),
                 jnp.asarray(accept),
                 jnp.int32(dev_dfa.start),
-                rem,
+                rem_dev,
                 *self.extras,
             )
-        return counts, indices, ops, total_count, total_ops
+        return ("xla", out)
+
+    @staticmethod
+    def drain_packed(handle) -> np.ndarray:
+        """Block on a submit_super_batch handle -> (W, 18) int32 packed
+        per-window results [count, ops, idx0..idx15]."""
+        kind, out = handle
+        if kind == "fused":
+            arr = np.asarray(out)  # (D, K, 18)
+            return arr.reshape(-1, arr.shape[-1])
+        counts, indices, ops, _total_count, _total_ops = out
+        counts = np.asarray(counts)[:, None]
+        ops = np.asarray(ops)[:, None]
+        indices = np.asarray(indices)
+        return np.concatenate([counts, ops, indices], axis=1).astype(np.int64)
+
+    def _full_window_indices(self, pattern: Pattern, base_scalar: int,
+                             remaining: int) -> List[int]:
+        """Complete match-index list for one device's window.
+
+        Overflow recovery (count > TOP_K index slots): re-run the window
+        single-device through a full-mask step and pull the whole (batch,)
+        match vector (the reference reports every match, gpu.rs:1030-1093).
+        Uses process-local default-device tables, independent of the mesh."""
+        import jax.numpy as jnp
+
+        from vgen_tpu.ops import pipeline
+        from vgen_tpu.scan import tables
+        from vgen_tpu.scan.tables import _ints_to_limbs
+
+        if self._single_tables is None:
+            tx, ty = tables.ig_table_limbs(self.batch)
+            extras = ()
+            if self.fmt == AddressFormat.P2TR:
+                extras = (jnp.asarray(tables.window_table_u32(8)),)
+            self._single_tables = (jnp.asarray(tx), jnp.asarray(ty), extras)
+        tx, ty, extras = self._single_tables
+        pt = ec.scalar_mult_base_fast(base_scalar)
+        bx = jnp.asarray(_ints_to_limbs([pt[0]])[0])
+        by = jnp.asarray(_ints_to_limbs([pt[1]])[0])
+        ivs = pattern.match_intervals(self.fmt)
+        if ivs is not None:
+            lo, hi = pipeline.intervals_to_words(
+                ivs, pipeline.INTERVAL_WORDS[self.fmt],
+                n_slots=pipeline.interval_slot_count(len(ivs)),
+            )
+            mask = pipeline.run_range_scan_mask(
+                self.fmt, bx, by, tx, ty, lo, hi, remaining,
+                extras=extras, chain_len=self.chain_len,
+                glv=self.glv_active,
+            )
+        else:
+            dev_dfa = pattern.device_dfa(self.fmt)
+            flat, accept = pipeline.pad_device_dfa(dev_dfa)
+            mask = pipeline.run_scan_mask(
+                self.fmt, bx, by, tx, ty, jnp.asarray(flat),
+                jnp.asarray(accept), dev_dfa.start, remaining,
+                extras=extras, chain_len=self.chain_len,
+                glv=self.glv_active,
+            )
+        return [int(i) for i in np.nonzero(np.asarray(mask))[0]]
 
     def run_super_batch(self, pattern: Pattern, base_scalar: int,
                         remaining_total: Optional[int] = None,
                         allow_glv: bool = False):
-        """submit_super_batch + block: numpy (counts, indices, ops,
-        total_count, total_ops)."""
-        counts, indices, ops, total_count, total_ops = self.submit_super_batch(
+        """submit_super_batch + block: numpy (per-window counts, indices,
+        ops, total_count, total_ops).  One row per key window (n_devices
+        windows on the XLA paths; n_devices * k_sub on the fused paths)."""
+        arr = self.drain_packed(self.submit_super_batch(
             pattern, base_scalar, remaining_total, allow_glv
-        )
+        ))
         return (
-            np.asarray(counts),
-            np.asarray(indices),
-            np.asarray(ops),
-            int(total_count),
-            int(total_ops),
+            arr[:, 0],
+            arr[:, 2:],
+            arr[:, 1],
+            int(arr[:, 0].sum()),
+            int(arr[:, 1].sum()),
         )
 
     def scan(
@@ -323,8 +508,10 @@ class MeshScanner:
 
         import jax
 
-        stride = self.batch * self.n_devices
         is_range = start is not None
+        stride = self.batch * self.windows_per_super(
+            pattern, allow_glv=not is_range
+        )
         # multi-host: every process sees every match (indices are
         # all-gathered over the mesh), so only process 0 persists cursors
         ckpt = (
@@ -377,12 +564,19 @@ class MeshScanner:
         def drain_one():
             nonlocal total_ops
             base_scalar, out = inflight.popleft()
-            counts, indices, ops, total_count, ops_sum = out
-            indices = np.asarray(indices)  # blocks on the super-batch
-            total_ops += int(ops_sum)
-            for d in range(self.n_devices):
-                base_d = base_scalar + d * self.batch
-                idxs = sorted(int(i) for i in indices[d] if i >= 0)
+            arr = self.drain_packed(out)  # blocks on the super-batch
+            total_ops += int(arr[:, 1].sum())
+            for j in range(arr.shape[0]):
+                base_d = base_scalar + j * self.batch
+                count = int(arr[j, 0])
+                idxs = sorted(int(i) for i in arr[j, 2:] if i >= 0)
+                if count > len(idxs):
+                    # more matches than TOP_K result slots: fetch them all
+                    rem_d = (
+                        max(0, min(self.batch, end_key - base_d))
+                        if is_range else self.batch
+                    )
+                    idxs = self._full_window_indices(pattern, base_d, rem_d)
                 # host-check the masked tx == bx doubling slot
                 # (key == 2*base_d; deterministic when base_d <= batch --
                 # see scan.scanner drain_one)

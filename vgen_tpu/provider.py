@@ -46,6 +46,70 @@ _B1000_SOLVED_KEYS: Dict[int, int] = {
     59: 0x7496CBB87CAB44F, 60: 0xFC07A1825367BBE, 61: 0x13C96A3742F64906,
     62: 0x363D541EB611ABEE, 63: 0x7CCE5EFDACCF6808, 64: 0xF7051F27B09112D4,
     65: 0x1A838B13505B26867, 66: 0x2832ED74F2B5E35EE,
+    70: 0x349B84B6431A6C4EF1, 75: 0x4C5CE114686A1336E07,
+    80: 0xEA1A5C66DCC11B5AD180, 85: 0x11720C4F018D51B8CEBBA8,
+    90: 0x2CE00BB2136A445C71E85BF, 95: 0x527A792B183C7F64A0E8B1F4,
+    100: 0xAF55FC59C335C8EC67ED24826, 105: 0x16F14FC2054CD87EE6396B33DF3,
+    110: 0x35C0D7234DF7DEB0F20CF7062444,
+    115: 0x60F4D11574F5DEEE49961D9609AC6,
+    130: 0x33E7665705359F04F28B88CF897C603C9,
+}
+
+# Published b1000 puzzle addresses for entries whose key is not embedded
+# above (public data: the 32-BTC "Bitcoin Puzzle" transaction outputs).
+# Every entry is Base58Check-validated at test time (tests/test_provider.py)
+# -- a corrupted entry cannot pass the 4-byte double-SHA256 checksum -- and
+# every puzzle that ALSO has a solved key above is cross-checked by
+# re-deriving the address from the key.  The reference resolves these
+# through the boha crate (provider.rs:23-52); unavailable numbers can still
+# be supplied via the $VGEN_TPU_PUZZLES JSON (see _external_puzzles).
+_B1000_ADDRESSES: Dict[int, str] = {
+    67: "1BY8GQbnueYofwSuFAT3USAhGjPrkxDdW9",
+    68: "1MVDYgVaSN6iKKEsbzRUAYFrYJadLYZvvZ",
+    69: "19vkiEajfhuZ8bs8Zu2jgmC6oqZbWqhxhG",
+    70: "19YZECXj3SxEZMoUeJ1yiPsw8xANe7M7QR",
+    71: "1PWo3JeB9jrGwfHDNpdGK54CRas7fsVzXU",
+    72: "1JTK7s9YVYywfm5XUH7RNhHJH1LshCaRFR",
+    73: "12VVRNPi4SJqUTsp6FmqDqY5sGosDtysn4",
+    74: "1FWGcVDK3JGzCC3WtkYetULPszMaK2Jksv",
+    75: "1J36UjUByGroXcCvmj13U6uwaVv9caEeAt",
+    76: "1DJh2eHFYQfACPmrvpyWc8MSTYKh7w9eRF",
+    77: "1Bxk4CQdqL9p22JEtDfdXMsng1XacifUtE",
+    78: "15qF6X51huDjqTmF9BJgxXdt1xcj46Jmhb",
+    79: "1ARk8HWJMn8js8tQmGUJeQHjSE7KRkn2t8",
+    80: "1BCf6rHUW6m3iH2ptsvnjgLruAiPQQepLe",
+    81: "15qsCm78whspNQFydGJQk5rexzxTQopnHZ",
+    82: "13zYrYhhJxp6Ui1VV7pqa5WDhNWM45ARAC",
+    83: "14MdEb4eFcT3MVG5sPFG4jGLuHJSnt1Dk2",
+    84: "1CMq3SvFcVEcpLMuuH8PUcNiqsK1oicG2D",
+    85: "1Kh22PvXERd2xpTQk3ur6pPEqFeckCJfAr",
+    86: "1K3x5L6G57Y494fDqBfrojD28UJv4s5JcK",
+    87: "1PxH3K1Shdjb7gSEoTX7UPDZ6SH4qGPrvq",
+    88: "16AbnZjZZipwHMkYKBSfswGWKDmXHjEpSf",
+    89: "19QciEHbGVNY4hrhfKXmcBBCrJSBZ6TaVt",
+    90: "1L12FHH2FHjvTviyanuiFVfmzCy46RRATU",
+    91: "1EzVHtmbN4fs4MiNk3ppEnKKhsmXYJ4s74",
+    92: "1AE8NzzgKE7Yhz7BWtAcAAxiFMbPo82NB5",
+    93: "17Q7tuG2JwFFU9rXVj3uZqRtioH3mx2Jad",
+    94: "1K6xGMUbs6ZTXBnhw1pippqwK6wjBWtNpL",
+    95: "19eVSDuizydXxhohGh8Ki9WY9KsHdSwoQC",
+    96: "15ANYzzCp5BFHcCnVFzXqyibpzgPLWaD8b",
+    97: "18ywPwj39nGjqBrQJSzZVq2izR12MDpDr8",
+    98: "1CaBVPrwUxbQYYswu32w7Mj4HR4maNoJSX",
+    99: "1JWnE6p6UN7ZJBN7TtcbNDoRcjFtuDWoNL",
+    100: "1KCgMv8fo2TPBpddVi9jqmMmcne9uSNJ5F",
+    105: "1CMjscKB3QW7SDyQ4c3C3DEUHiHRhiZVib",
+    110: "12JzYkkN76xkwvcPT6AWKZtGX6w2LAgsJg",
+    115: "1NLbHuJebVwUZ1XqDjsAyfTRUPwDQbemfv",
+    120: "17s2b9ksz5y7abUm92cHwG8jEPCzK3dLnT",
+    125: "1PXAyUB8ZoH3WD8n5zoAthYjN15yN5CVq5",
+    130: "1Fo65aKq8s8iquMt6weF1rku1moWVEd5Ua",
+    135: "16RGFo6hjq9ym6Pj7N5H7L1NR1rVPJyw2v",
+    140: "1QKBaU6WAeycb3DbKbLBkX7vJiaS8r42Xo",
+    145: "19GpszRNUej5yYqxXoLnbZWKew3KdVLkXg",
+    150: "1MUJSJYtGPVGkBCTqGspnxyHahpt5Te8jy",
+    155: "1AoeP37TmHdFh8uN72fu9AqgtLrUwcv2wJ",
+    160: "1NBC8uXJy1GiJ6drkiZa1WuKn51ps7EPTv",
 }
 
 
@@ -118,8 +182,12 @@ def _resolve_boha(path: str) -> ProviderResult:
         return ProviderResult(
             _derived_address(_B1000_SOLVED_KEYS[n]), AddressFormat.P2PKH, key_range
         )
+    if n in _B1000_ADDRESSES:
+        return ProviderResult(
+            _B1000_ADDRESSES[n], AddressFormat.P2PKH, key_range
+        )
     raise ProviderError(
-        f"puzzle b1000/{n} is unsolved and no local address data is available "
+        f"puzzle b1000/{n} has no embedded address data "
         f"(supply it via $VGEN_TPU_PUZZLES, see vgen_tpu/provider.py)"
     )
 

@@ -361,6 +361,55 @@ class DeviceScanner:
             next_key = nk
             return True
 
+        def full_window_indices(base_scalar, remaining):
+            """Complete match-index list for one window.
+
+            Overflow recovery: the packed result carries only TOP_K index
+            slots; when count exceeds them the window is re-run through a
+            full-mask step and the whole (batch,) match vector ships to the
+            host (rare extra dispatch; the reference reports every match
+            per batch, gpu.rs:1030-1093)."""
+            from vgen_tpu.scan.tables import _ints_to_limbs
+
+            if fused_step is not None:
+                from vgen_tpu.ops import pallas_fused
+
+                pt = ec.scalar_mult_base_fast(base_scalar)
+                bx = jnp.asarray(_ints_to_limbs([pt[0]]))
+                by = jnp.asarray(_ints_to_limbs([pt[1]]))
+                rem = jnp.asarray([remaining], dtype=jnp.int32)
+                if fused_kind == "range":
+                    mstep = pallas_fused.fused_range_mask_step(
+                        config.format, self.batch, self.chain_len, glv=glv
+                    )
+                    mask = mstep(bx, by, self.tx, self.ty, lo_w, hi_w, rem)
+                else:
+                    mstep = pallas_fused.fused_scan_mask_step(
+                        config.format, self.batch, dfa_f32.shape[0],
+                        self.chain_len, glv=glv,
+                    )
+                    mask = mstep(
+                        bx, by, self.tx, self.ty, dfa_f32, acc_f32,
+                        jnp.int32(dev_dfa.start), rem,
+                    )
+                mask = np.asarray(mask)[0]
+            else:
+                bx, by = self._base_limbs(base_scalar)
+                if xla_range:
+                    mask = np.asarray(pipeline.run_range_scan_mask(
+                        config.format, bx, by, self.tx, self.ty, lo_w, hi_w,
+                        remaining, extras=self.extras,
+                        chain_len=self.chain_len, glv=glv,
+                    ))
+                else:
+                    mask = np.asarray(pipeline.run_scan_mask(
+                        config.format, bx, by, self.tx, self.ty, dfa_flat,
+                        dfa_accept, dev_dfa.start, remaining,
+                        extras=self.extras, chain_len=self.chain_len,
+                        glv=glv,
+                    ))
+            return [int(i) for i in np.nonzero(mask)[0]]
+
         def drain_one():
             nonlocal total_ops
             base_scalars, packed = inflight.popleft()
@@ -369,6 +418,13 @@ class DeviceScanner:
                 count = int(arr[k, 0])
                 total_ops += int(arr[k, 1])
                 idxs = sorted(int(i) for i in arr[k, 2:] if i >= 0)
+                if count > len(idxs):
+                    # more matches than TOP_K result slots: fetch them all
+                    rem_k = (
+                        max(0, min(self.batch, end_key - base_scalar))
+                        if is_range else self.batch
+                    )
+                    idxs = full_window_indices(base_scalar, rem_k)
                 # the device masks the tx == bx doubling slot (key == 2*base)
                 # as invalid -- deterministic when base <= batch (tiny-range
                 # scans, e.g. low Bitcoin Puzzles), vanishing otherwise.
