@@ -68,6 +68,30 @@ def main():
     from vgen_tpu.scan.scanner import benchmark_device
 
     t0 = time.time()
+
+    # Correctness gate: on-device oracle validation of the fused kernels
+    # (all formats, intervals, GLV, EIP-55 casing, P2TR ladder) BEFORE the
+    # rate is reported -- a fast wrong kernel must not produce a bench win.
+    validated = None
+    if (
+        os.environ.get("VGEN_BENCH_VALIDATE", "1") != "0"
+        and jax.devices()[0].platform != "cpu"
+    ):
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            import contextlib
+
+            from scripts.validate_fused import run_validation
+
+            # keep stdout to the single JSON line; progress goes to stderr
+            with contextlib.redirect_stdout(sys.stderr):
+                validated = bool(run_validation(batch=262144))
+        except Exception as e:  # pragma: no cover
+            print(f"# validation crashed: {e!r}", file=sys.stderr)
+            validated = False
+        print(f"# fused-kernel validation: "
+              f"{'PASS' if validated else 'FAIL'}", file=sys.stderr)
+
     stats = benchmark_device(
         AddressFormat.P2PKH,
         pattern_str=pattern,
@@ -77,16 +101,15 @@ def main():
         k_sub=k_sub,
     )
     rate = stats["keys_per_sec"]
-    print(
-        json.dumps(
-            {
-                "metric": "keys/sec/chip (P2PKH regex scan)",
-                "value": rate,
-                "unit": "keys/s",
-                "vs_baseline": rate / 2_000_000.0,
-            }
-        )
-    )
+    out = {
+        "metric": "keys/sec/chip (P2PKH regex scan)",
+        "value": rate,
+        "unit": "keys/s",
+        "vs_baseline": rate / 2_000_000.0,
+    }
+    if validated is not None:
+        out["validated"] = validated
+    print(json.dumps(out))
     print(
         f"# device={jax.devices()[0].device_kind} batch={batch} "
         f"ops={stats['operations']} elapsed={stats['elapsed']:.2f}s "

@@ -1,0 +1,84 @@
+"""Per-format x per-path benchmark matrix on the real chip.
+
+Times the DeviceScanner end-to-end loop (compile excluded) for every
+address format on both match paths:
+
+- "interval": anchored-literal prefix -> hash160/account/output-key range
+  compare (the VanitySearch-style fast path; GLV 6-keys-per-add for the
+  formats that support it)
+- "dfa": generic regex (a character class defeats interval compilation)
+  -> full on-device encode + DFA matcher (GLV too where supported)
+
+The reference benchmarks only batch-size sweeps of its two GPU paths
+(benches/gpu_bench.rs:24-52) and never ran Ethereum on the GPU at all;
+its P2TR path tweaks per-candidate on the CPU (gpu.rs:1282-1291).
+
+Writes BENCH_MATRIX.json at the repo root.  Env: SECS (default 6),
+B (default 524288), B_P2TR (default 131072).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/vgen_tpu/jaxcache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from vgen_tpu.crypto.address import AddressFormat
+from vgen_tpu.scan.scanner import CHAIN_LEN, benchmark_device
+
+SECS = float(os.environ.get("SECS", 6))
+B = int(os.environ.get("B", 524_288))
+B_P2TR = int(os.environ.get("B_P2TR", 131_072))
+
+# (format, interval pattern, dfa pattern, batch) -- patterns are
+# never-match, charset-valid prefixes; the dfa column adds a character
+# class so pattern/intervals.py rejects it and the DFA matcher runs.
+CASES = [
+    (AddressFormat.P2PKH, "^1CBenchNeverMatchesXx", "^1C[ab]NeverMatches", B),
+    (AddressFormat.P2PKH_UNCOMPRESSED, "^1UBenchNeverMatchXy",
+     "^1U[ab]NeverMatch", B),
+    (AddressFormat.P2SH_P2WPKH, "^3JBenchNeverMatchXy", "^3J[ab]NeverMatch",
+     B),
+    (AddressFormat.P2WPKH, "^bc1qzzzzzzzzzzzz", "^bc1qz[z9]zzzzzzzz", B),
+    (AddressFormat.ETHEREUM, "^0xdeadbeefcafe0123", "^0xdead[bc]eefcafe", B),
+    (AddressFormat.P2TR, "^bc1pzzzzzzzzzzzz", "^bc1pz[z9]zzzzzzzz", B_P2TR),
+]
+
+rows = []
+for fmt, iv_pat, dfa_pat, batch in CASES:
+    for kind, pat in (("interval", iv_pat), ("dfa", dfa_pat)):
+        t0 = time.time()
+        stats = benchmark_device(
+            fmt, pattern_str=pat, batch_size=batch, min_seconds=SECS,
+            chain_len=min(CHAIN_LEN, batch), k_sub=8,
+        )
+        rate = stats["keys_per_sec"]
+        rows.append({
+            "format": fmt.value,
+            "path": kind,
+            "pattern": pat,
+            "batch": batch,
+            "keys_per_sec": rate,
+            "vs_baseline_2M": rate / 2e6,
+        })
+        print(f"{fmt.value:22s} {kind:8s} {rate/1e6:9.2f} Mkeys/s "
+              f"(wall {time.time()-t0:.0f}s)", flush=True)
+
+out = {
+    "device": jax.devices()[0].device_kind,
+    "seconds_per_cell": SECS,
+    "rows": rows,
+}
+with open(os.path.join(os.path.dirname(__file__), "..",
+                       "BENCH_MATRIX.json"), "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out))

@@ -44,32 +44,34 @@ out = {"n_devices": len(jax.devices())}
 mesh = make_mesh(jax.devices())
 
 # --- correctness: small-batch mesh scans must find a planted key ---------
+SKIP_CORRECTNESS = os.environ.get("SKIP_CORRECTNESS", "0") == "1"
 gen = AddressGenerator(AddressFormat.P2PKH)
 key = 0xC0FFEE
 addr = gen.generate(key.to_bytes(32, "big")).address
-small = MeshScanner(AddressFormat.P2PKH, 2048, chain_len=256, mesh=mesh)
+if not SKIP_CORRECTNESS:
+    small = MeshScanner(AddressFormat.P2PKH, 2048, chain_len=256, mesh=mesh)
 
-res = small.scan(Pattern(f"^{re.escape(addr)}$"), count=1,
-                 start=key - 1500, end=key + 500)
-assert [m.hex for m in res.matches] == [key.to_bytes(32, "big").hex()], (
-    "fused interval path missed the planted key", res.matches)
-out["interval_found"] = True
-print(f"mesh fused interval path: found {addr} OK")
+    res = small.scan(Pattern(f"^{re.escape(addr)}$"), count=1,
+                     start=key - 1500, end=key + 500)
+    assert [m.hex for m in res.matches] == [key.to_bytes(32, "big").hex()], (
+        "fused interval path missed the planted key", res.matches)
+    out["interval_found"] = True
+    print(f"mesh fused interval path: found {addr} OK")
 
-# DFA path: a character class defeats interval compilation
-prefix = addr[:5]
-res = small.scan(Pattern(f"^{prefix[:4]}[{prefix[4]}]"), count=0,
-                 start=key - 1500, end=key + 500)
-assert any(m.hex == key.to_bytes(32, "big").hex() for m in res.matches), (
-    "fused DFA path missed the planted key", res.matches)
-out["dfa_found"] = True
-print(f"mesh fused DFA path: found {addr} among {len(res.matches)} OK")
+    # DFA path: a character class defeats interval compilation
+    prefix = addr[:5]
+    res = small.scan(Pattern(f"^{prefix[:4]}[{prefix[4]}]"), count=0,
+                     start=key - 1500, end=key + 500)
+    assert any(m.hex == key.to_bytes(32, "big").hex() for m in res.matches), (
+        "fused DFA path missed the planted key", res.matches)
+    out["dfa_found"] = True
+    print(f"mesh fused DFA path: found {addr} among {len(res.matches)} OK")
 
-# GLV random path: scan until one ^1C match arrives
-res = small.scan(Pattern("^1C"), count=1)
-assert res.matches and res.matches[0].address.startswith("1C")
-out["glv_found"] = True
-print(f"mesh fused GLV path: found {res.matches[0].address} OK")
+    # GLV random path: scan until one ^1C match arrives
+    res = small.scan(Pattern("^1C"), count=1)
+    assert res.matches and res.matches[0].address.startswith("1C")
+    out["glv_found"] = True
+    print(f"mesh fused GLV path: found {res.matches[0].address} OK")
 
 
 # --- rate: mesh-mode vs single-chip DeviceScanner ------------------------

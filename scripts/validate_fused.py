@@ -228,6 +228,68 @@ def run_validation(batch: int = 262144, tile: int = 512) -> bool:
               f"missing={missing}, spurious={extra})")
         ok = ok and gdfa_ok
 
+    # P2TR: no fused kernel (the windowed TapTweak ladder stays in XLA) --
+    # validate the packed XLA step against the oracle on both the interval
+    # and the DFA path (VERDICT r1: P2TR had no committed device evidence)
+    from vgen_tpu.scan.tables import window_table_u32
+
+    wt = jnp.asarray(window_table_u32(8))
+    for kind, pattern in [("range", "^bc1pq"), ("dfa", "^bc1p[qp]")]:
+        fmt = AddressFormat.P2TR
+        gen = AddressGenerator(fmt)
+        pat = Pattern(pattern)
+        expect_small = sorted(
+            i
+            for i in range(n_oracle)
+            if pat.matches(
+                gen.generate(
+                    (base_oracle + 1 + i).to_bytes(32, "big")
+                ).address
+            )
+        )
+        base = ec.scalar_mult(base_oracle)
+        bx1 = jnp.asarray(_ints_to_limbs([base[0]]))
+        by1 = jnp.asarray(_ints_to_limbs([base[1]]))
+        rem1 = jnp.full((1,), n_oracle, jnp.int32)
+        pstep = pipeline.packed_xla_scan_step(
+            fmt, kind, False, 256, 1, pipeline.xla_tail_unroll(), n_extras=1
+        )
+        if kind == "range":
+            ivs = pat.match_intervals(fmt)
+            assert ivs, pattern
+            lo_np, hi_np = pipeline.intervals_to_words(
+                ivs, pipeline.INTERVAL_WORDS[fmt],
+                n_slots=pipeline.interval_slot_count(len(ivs)),
+            )
+            packed = np.asarray(pstep(
+                bx1, by1, tx, ty, rem1,
+                jnp.asarray(lo_np), jnp.asarray(hi_np), wt,
+            ))[0]
+        else:
+            dev = pat.device_dfa(fmt)
+            flat, accept = pipeline.pad_device_dfa(dev)
+            packed = np.asarray(pstep(
+                bx1, by1, tx, ty, rem1,
+                jnp.asarray(flat), jnp.asarray(accept),
+                jnp.int32(dev.start), wt,
+            ))[0]
+        got = sorted(int(i) for i in packed[2:] if i >= 0)
+        extra = [
+            i for i in got
+            if not pat.matches(
+                gen.generate((base_oracle + 1 + i).to_bytes(32, "big")).address
+            )
+        ]
+        missing = [i for i in expect_small[-16:] if i not in got]
+        p2tr_ok = (
+            not missing and not extra
+            and int(packed[0]) == len(expect_small)
+        )
+        print(f"p2tr ({kind}): oracle window match = {p2tr_ok} "
+              f"(count {packed[0]} vs {len(expect_small)}, "
+              f"missing={missing}, spurious={extra})")
+        ok = ok and p2tr_ok
+
     for fmt, pattern in [
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "^bc1qq"),

@@ -24,7 +24,29 @@ if "xla_backend_optimization_level" not in flags:
 os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/vgen_tpu/jaxcache-test")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy numerics-conformance compiles (XLA:CPU takes minutes "
+        "per jit at -O0; this env's persistent cache cannot reload CPU AOT "
+        "results, so they recompile every run).  Skipped unless RUN_SLOW=1; "
+        "run them once per change to ops/ numerics.",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow numerics conformance (set RUN_SLOW=1 to run)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -3,6 +3,7 @@
 import random
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +54,7 @@ def test_batch_affine_add_degenerate_masked():
         assert got_x[i] == ec.scalar_mult(3 + 1 + i)[0]
 
 
+@pytest.mark.slow
 def test_jacobian_double_add_vs_oracle():
     ks = [rng.randrange(1, ec.N) for _ in range(4)]
     pts = [ec.scalar_mult(k) for k in ks]
@@ -72,6 +74,7 @@ def test_jacobian_double_add_vs_oracle():
         assert (u256.to_int(ax)[i], u256.to_int(ay)[i]) == ec.scalar_mult(k + 1)
 
 
+@pytest.mark.slow
 def test_jacobian_add_affine_doubling_case():
     # P == Q triggers the branch-free doubling select
     pts = [ec.scalar_mult(5)] * 2
@@ -84,6 +87,7 @@ def test_jacobian_add_affine_doubling_case():
     assert (u256.to_int(ax)[0], u256.to_int(ay)[0]) == ec.scalar_mult(10)
 
 
+@pytest.mark.slow
 def test_jacobian_add_affine_inverse_case():
     # P == -Q -> infinity (Z == 0)
     p5 = ec.scalar_mult(5)
@@ -96,6 +100,7 @@ def test_jacobian_add_affine_inverse_case():
     assert u256.to_int(aZ)[0] == 0
 
 
+@pytest.mark.slow
 def test_jacobian_add_affine_from_infinity():
     # Z1 == 0 with z1_is_zero mask -> result is Q
     X = u256.constant(0, (1,))
@@ -138,6 +143,7 @@ def test_window_table_entries():
         assert (x, y) == expect, (w, d)
 
 
+@pytest.mark.slow
 def test_scalar_mul_windowed():
     tbl = jnp.asarray(ec.window_table(8))
     ks = [1, 2, rng.randrange(1, ec.N), ec.N - 1, 0xDEADBEEF]
@@ -150,6 +156,7 @@ def test_scalar_mul_windowed():
         assert (u256.to_int(ax)[i], u256.to_int(ay)[i]) == expect, hex(k)
 
 
+@pytest.mark.slow
 def test_scalar_mul_add_windowed_affine():
     """Affine-accumulated Q = P + t*G (the P2TR tweak ladder) vs oracle."""
     tbl = jnp.asarray(ec.window_table(8))
@@ -161,6 +168,29 @@ def test_scalar_mul_add_windowed_affine():
     scal = jnp.asarray(u256.from_int(ts))
     f = jax.jit(
         lambda s, x, y: curve.scalar_mul_add_windowed_affine(s, tbl, x, y, 8)
+    )
+    qx, qy, ok = f(scal, px, py)
+    assert np.asarray(ok).all()
+    for i, (p, t) in enumerate(zip(ps, ts)):
+        expect = ec.scalar_mult((p + t) % ec.N)
+        assert (u256.to_int(qx)[i], u256.to_int(qy)[i]) == expect, (p, t)
+
+
+@pytest.mark.slow
+def test_scalar_mul_add_windowed_grouped():
+    """Grouped-accumulator ladder (8 parallel accumulators + combine tree,
+    the accelerator P2TR path) must agree with the oracle bit-for-bit."""
+    tbl = jnp.asarray(ec.window_table(8))
+    ps = [rng.randrange(1, ec.N) for _ in range(3)] + [5]
+    ts = [1, rng.randrange(1, ec.N), ec.N - 1, 0xDEADBEEF]
+    pts = [ec.scalar_mult(p) for p in ps]
+    px = jnp.asarray(u256.from_int([pt[0] for pt in pts]))
+    py = jnp.asarray(u256.from_int([pt[1] for pt in pts]))
+    scal = jnp.asarray(u256.from_int(ts))
+    f = jax.jit(
+        lambda s, x, y: curve.scalar_mul_add_windowed_grouped(
+            s, tbl, x, y, 8, groups=8
+        )
     )
     qx, qy, ok = f(scal, px, py)
     assert np.asarray(ok).all()

@@ -337,3 +337,58 @@ def test_original_and_flags():
     assert pat.original == "^1Cat"
     assert not pat.is_case_insensitive
     assert Pattern("^1Cat", True).is_case_insensitive
+
+
+def test_matches_hex_escape():
+    # \xHH / \x{HH} escapes (regex-crate surface, VERDICT r1 item 9)
+    pat = Pattern(r"^1\x43at")  # \x43 == 'C'
+    assert pat.matches("1CatXXX")
+    assert not pat.matches("1DatXXX")
+    pat = Pattern(r"^1\x{43}at")
+    assert pat.matches("1CatXXX")
+    pat = Pattern(r"[\x41-\x43]")  # range endpoints as hex escapes
+    assert pat.matches("zzB")
+    assert not pat.matches("zzD")
+
+
+def test_matches_named_group():
+    pat = Pattern(r"^1(?P<body>Cat|Dog)")
+    assert pat.matches("1CatXXX")
+    assert pat.matches("1DogXXX")
+    assert not pat.matches("1FoxXXX")
+    pat = Pattern(r"^1(?<body>Cat)")  # regex-crate alternate spelling
+    assert pat.matches("1CatXXX")
+
+
+def test_matches_posix_class():
+    pat = Pattern(r"^1[[:digit:]]")
+    assert pat.matches("17abc")
+    assert not pat.matches("1abc")
+    pat = Pattern(r"^1[[:^digit:]]")
+    assert pat.matches("1abc")
+    assert not pat.matches("17abc")
+    pat = Pattern(r"^0x[[:xdigit:]]{4}$")
+    assert pat.matches("0xAb3F")
+    assert not pat.matches("0xAbZF")
+    with pytest.raises(RegexError):
+        Pattern(r"^1[[:bogus:]]")
+
+
+def test_unsupported_group_flag_message():
+    with pytest.raises(RegexError, match="unsupported group flags"):
+        Pattern(r"^1(?=Cat)")  # lookahead: unsupported, clear error
+
+
+def test_fuzz_escapes_against_python_re():
+    rng = random.Random(7)
+    pats = [r"\x41+", r"^[\x30-\x39]{2}", r"(?P<a>AB|CD)\x2e",
+            r"[[:upper:]][[:digit:]]"]
+    alphabet = "ABCD019.z"
+    for p in pats:
+        pat = Pattern(p)
+        ref = re.compile(p.replace("[[:upper:]]", "[A-Z]").replace(
+            "[[:digit:]]", "[0-9]"))
+        for _ in range(300):
+            s = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randrange(0, 8)))
+            assert pat.matches(s) == bool(ref.search(s)), (p, s)

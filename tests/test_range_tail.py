@@ -114,6 +114,7 @@ def _run_dfa(fmt, pattern_str, glv=False):
     return pat, got, int(res.count), int(res.ops)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "fmt,pattern",
     [

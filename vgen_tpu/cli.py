@@ -574,10 +574,42 @@ def cmd_estimate(args) -> int:
     )
     print(f"Benchmark rate: {rate:.0f} addr/sec ({rate_src})")
     print(f"Expected time: {format_duration(expected)} (CPU)")
-    print(
-        "Note: the TPU scan path is typically orders of magnitude faster; "
-        "run `vgen-tpu generate --repeat 1 -q` on device to calibrate."
-    )
+
+    # Device calibration (reference lib.rs:347-373 only ever measured the
+    # CPU; here a visible accelerator runs ~2s of the REAL scan path for
+    # this pattern/format -- interval fast path, GLV, or generic DFA,
+    # whichever the pattern compiles to)
+    use_dev = False
+    try:
+        use_dev = resolve_use_device("auto", no_device=False, quiet=True)
+    except SystemExit:
+        use_dev = False
+    if use_dev:
+        try:
+            import jax
+
+            from vgen_tpu.scan.scanner import benchmark_device
+
+            print("Calibrating on device (first run may take minutes to "
+                  "compile)...", file=sys.stderr)
+            stats = benchmark_device(
+                fmt, pattern_str=pattern_str, min_seconds=2.0,
+                warmup_batches=1, ignore_case=args.ignore_case,
+            )
+            drate = stats["keys_per_sec"]
+            dexpected = difficulty / drate if drate > 0 else float("inf")
+            print(f"Device rate: {drate:,.0f} keys/sec "
+                  f"({jax.devices()[0].device_kind})")
+            print(f"Expected time: {format_duration(dexpected)} (device)")
+        except Exception as e:
+            print(f"Note: device calibration failed ({e}); the TPU scan "
+                  "path is typically orders of magnitude faster than CPU.",
+                  file=sys.stderr)
+    else:
+        print(
+            "Note: the TPU scan path is typically orders of magnitude "
+            "faster; run estimate on a device host to calibrate."
+        )
     return 0
 
 

@@ -211,13 +211,19 @@ def p2tr_output_key(x, y, window_table, unroll: bool = False):
     # BIP341: t must be < n (negligible failure probability, still masked)
     n_limbs = u256.constant(field.N_INT, B)
     t_ok = ~u256.geq(t_limbs, n_limbs)
-    # Q = P_internal + t*G, accumulated fully in affine with one shared
-    # batch inversion per window (P_internal is a real point, so the
-    # accumulator is never the identity; x-collisions with table points
-    # are masked into q_ok with vanishing probability)
-    qx, _, q_ok = curve.scalar_mul_add_windowed_affine(
-        t_limbs, window_table, x, y_even, 8
-    )
+    # Q = P_internal + t*G in affine with shared batch inversions
+    # (x-collisions masked into q_ok with vanishing probability).  On
+    # accelerators (unroll=True) the grouped ladder spreads the windows
+    # over 8 parallel accumulators, cutting the sequential inversion count
+    # ~3.5x; the fori_loop ladder keeps XLA:CPU compiles small.
+    if unroll:
+        qx, _, q_ok = curve.scalar_mul_add_windowed_grouped(
+            t_limbs, window_table, x, y_even, 8, groups=8
+        )
+    else:
+        qx, _, q_ok = curve.scalar_mul_add_windowed_affine(
+            t_limbs, window_table, x, y_even, 8
+        )
     return qx, t_ok & q_ok
 
 
@@ -694,6 +700,51 @@ def run_range_scan_step(fmt, bx, by, tx, ty, lo, hi, remaining,
         x3, y3, valid, jnp.asarray(lo), jnp.asarray(hi),
         jnp.int32(remaining), *extras
     )
+
+
+@functools.lru_cache(maxsize=16)
+def packed_xla_scan_step(fmt: AddressFormat, kind: str, glv: bool,
+                         chain_len: int, k_sub: int, unroll: bool,
+                         n_extras: int = 0):
+    """k_sub-window packed scan step for formats WITHOUT a fused Pallas
+    kernel (P2TR's windowed TapTweak ladder lives in the XLA tail): scans
+    k_sub consecutive key windows per dispatch and returns one packed
+    (k_sub, 18) result, amortizing the host<->device round trip exactly
+    like ops/pallas_fused.fused_scan_step does for the fused formats.
+
+    kind: "range" (margs = (lo, hi)) or "dfa" (margs = (dfa_flat,
+    dfa_accept, start)).  Signature: step(bx (K,16), by (K,16), tx, ty,
+    remaining (K,), *margs, *extras) -> (K, 18) int32."""
+    tail = (
+        make_range_tail(fmt, glv, unroll) if kind == "range"
+        else make_format_tail(fmt, unroll, glv)
+    )
+    n_margs = 2 if kind == "range" else 3
+
+    def step(bx, by, tx, ty, remaining, *args):
+        margs = args[:n_margs]
+        extras = args[n_margs:]
+
+        def one(bxk, byk, remk):
+            x3, y3, valid = curve.batch_affine_add(
+                bxk, byk, tx, ty, chain_len=chain_len
+            )
+            res = tail(x3, y3, valid, *margs, remk, *extras)
+            return jnp.concatenate(
+                [res.count[None], res.ops[None], res.indices]
+            )
+
+        if k_sub == 1:
+            return one(bx[0], by[0], remaining[0])[None]
+
+        def body(_, xs):
+            bxk, byk, remk = xs
+            return None, one(bxk, byk, remk)
+
+        _, outs = jax.lax.scan(body, None, (bx, by, remaining))
+        return outs
+
+    return jax.jit(step)
 
 
 # ---------------------------------------------------------------------------

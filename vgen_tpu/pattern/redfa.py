@@ -165,6 +165,22 @@ class _Parser:
                 nxt = self.peek()
                 if nxt == ":":
                     self.take()
+                elif nxt == "P" or nxt == "<":
+                    # named group (?P<name>...) / (?<name>...): the name has
+                    # no matching semantics -- parse and drop it (parity with
+                    # the regex crate, which accepts both spellings)
+                    if nxt == "P":
+                        self.take()
+                        if self.peek() != "<":
+                            raise RegexError(
+                                "unsupported group flags (?P"
+                                f"{self.peek()!r}"
+                            )
+                    self.take()  # '<'
+                    while self.peek() is not None and self.peek() != ">":
+                        self.take()
+                    if self.take() != ">":
+                        raise RegexError("unterminated group name")
                 elif nxt == "i":
                     # inline (?i) flag group: apply globally (good enough for
                     # the flat patterns this tool sees)
@@ -177,7 +193,10 @@ class _Parser:
                         self.take()
                         self.ignore_case = True
                 else:
-                    raise RegexError("unsupported group flags")
+                    raise RegexError(
+                        f"unsupported group flags (?{nxt}: only (?:...), "
+                        "(?i), (?i:...), and named groups are supported"
+                    )
             node = self.alternation()
             if self.peek() != ")":
                 raise RegexError("unbalanced parenthesis")
@@ -205,7 +224,9 @@ class _Parser:
             return frozenset({ord(c.lower()), ord(c.upper())})
         return frozenset({b})
 
-    def escape_class(self) -> FrozenSet[int]:
+    def escape_class(self, raw: bool = False) -> FrozenSet[int]:
+        """raw=True: no case folding (char_class folds after range
+        expansion, so escaped range endpoints stay single bytes)."""
         if self.peek() is None:
             raise RegexError("dangling escape")
         c = self.take()
@@ -230,6 +251,33 @@ class _Parser:
         }
         if c in table:
             return table[c]
+        if c == "x":
+            # \xHH hex escape (regex-crate surface, VERDICT r1 item 9)
+            h = ""
+            if self.peek() == "{":  # \x{HH..} form
+                self.take()
+                while self.peek() is not None and self.peek() != "}":
+                    h += self.take()
+                if self.take() != "}":
+                    raise RegexError("unterminated \\x{...} escape")
+            else:
+                for _ in range(2):
+                    if self.peek() is None:
+                        raise RegexError("truncated \\x escape")
+                    h += self.take()
+            try:
+                b = int(h, 16)
+            except ValueError:
+                raise RegexError(f"invalid hex escape \\x{h}")
+            if b > 255:
+                raise RegexError("non-ASCII \\x escape in pattern")
+            if not raw and self.ignore_case and chr(b).isalpha():
+                return frozenset({ord(chr(b).lower()), ord(chr(b).upper())})
+            return frozenset({b})
+        if raw:
+            if ord(c) > 255:
+                raise RegexError("non-ASCII literal in pattern")
+            return frozenset({ord(c)})
         return self._literal(c)
 
     def char_class(self) -> FrozenSet[int]:
@@ -250,7 +298,46 @@ class _Parser:
             first = False
             if c == "\\":
                 self.take()
-                members |= self.escape_class()
+                esc = self.escape_class(raw=True)
+                if (
+                    len(esc) == 1
+                    and self.peek() == "-"
+                    and self.pos + 1 < len(self.src)
+                    and self.src[self.pos + 1] not in ("]",)
+                ):
+                    # escaped left range endpoint: [\x41-\x43]
+                    lo = next(iter(esc))
+                    self.take()  # '-'
+                    hi_c = self.take()
+                    if hi_c == "\\":
+                        esc2 = self.escape_class(raw=True)
+                        if len(esc2) != 1:
+                            raise RegexError("invalid range endpoint")
+                        hi = next(iter(esc2))
+                    else:
+                        hi = ord(hi_c)
+                    if hi < lo:
+                        raise RegexError("invalid class range")
+                    members |= set(range(lo, hi + 1))
+                    if self.ignore_case:
+                        for v in range(lo, hi + 1):
+                            ch = chr(v)
+                            if ch.isalpha():
+                                members.add(ord(ch.swapcase()))
+                    continue
+                if self.ignore_case:
+                    for v in list(esc):
+                        ch = chr(v)
+                        if v < 128 and ch.isalpha():
+                            members.add(ord(ch.swapcase()))
+                members |= esc
+                continue
+            if (
+                c == "["
+                and self.pos + 1 < len(self.src)
+                and self.src[self.pos + 1] == ":"
+            ):
+                members |= self._posix_class()
                 continue
             self.take()
             lo = ord(c)
@@ -262,7 +349,7 @@ class _Parser:
                 self.take()  # '-'
                 hi_c = self.take()
                 if hi_c == "\\":
-                    esc = self.escape_class()
+                    esc = self.escape_class(raw=True)
                     if len(esc) != 1:
                         raise RegexError("invalid range endpoint")
                     hi = next(iter(esc))
@@ -280,6 +367,46 @@ class _Parser:
                 if self.ignore_case and c.isalpha():
                     members.add(ord(c.swapcase()))
                 members.add(lo)
+        if negated:
+            return frozenset(range(256)) - frozenset(members)
+        return frozenset(members)
+
+    _POSIX = {
+        "alpha": set(range(65, 91)) | set(range(97, 123)),
+        "digit": set(range(48, 58)),
+        "alnum": set(range(48, 58)) | set(range(65, 91))
+        | set(range(97, 123)),
+        "upper": set(range(65, 91)),
+        "lower": set(range(97, 123)),
+        "xdigit": set(range(48, 58)) | set(range(65, 71))
+        | set(range(97, 103)),
+        "space": set(map(ord, " \t\n\r\f\v")),
+        "punct": {v for v in range(33, 127) if not chr(v).isalnum()},
+        "word": set(range(48, 58)) | set(range(65, 91))
+        | set(range(97, 123)) | {95},
+        "blank": {32, 9},
+        "cntrl": set(range(0, 32)) | {127},
+        "graph": set(range(33, 127)),
+        "print": set(range(32, 127)),
+    }
+
+    def _posix_class(self) -> FrozenSet[int]:
+        """[[:name:]] POSIX class inside a character class (regex-crate
+        surface).  Called at '[' with ':' lookahead-confirmed."""
+        self.take()  # '['
+        self.take()  # ':'
+        negated = False
+        if self.peek() == "^":
+            self.take()
+            negated = True
+        name = ""
+        while self.peek() is not None and self.peek() != ":":
+            name += self.take()
+        if self.take() != ":" or self.take() != "]":
+            raise RegexError("unterminated POSIX class")
+        if name not in self._POSIX:
+            raise RegexError(f"unknown POSIX class [:{name}:]")
+        members = self._POSIX[name]
         if negated:
             return frozenset(range(256)) - frozenset(members)
         return frozenset(members)

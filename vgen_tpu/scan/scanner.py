@@ -234,6 +234,7 @@ class DeviceScanner:
         # GLV expansion) without Mosaic -- CPU fallback, and formats with no
         # fused kernel (P2TR, whose windowed TapTweak lives in the XLA tail).
         xla_range = False
+        xla_packed = None
         if fused_step is None:
             ivs = pattern.match_intervals(config.format)
             if ivs is not None:
@@ -253,6 +254,14 @@ class DeviceScanner:
                 glv = (
                     config.start is None
                     and config.format in pipeline.GLV_FORMATS
+                )
+            if self.device.platform not in ("cpu",):
+                # accelerator without a fused kernel (P2TR): still amortize
+                # the device-tunnel RTT over k_sub windows per dispatch
+                xla_packed = pipeline.packed_xla_scan_step(
+                    config.format, "range" if xla_range else "dfa", glv,
+                    self.chain_len, k_sub, pipeline.xla_tail_unroll(),
+                    n_extras=len(self.extras),
                 )
 
         is_range = config.start is not None
@@ -300,7 +309,10 @@ class DeviceScanner:
             nonlocal next_key
             if is_range and next_key > end_key:
                 return False
-            n_sub = k_sub if fused_step is not None else 1
+            n_sub = (
+                k_sub if (fused_step is not None or xla_packed is not None)
+                else 1
+            )
             base_scalars = []
             remainings = []
             for k in range(n_sub):
@@ -313,21 +325,31 @@ class DeviceScanner:
                 else:
                     remainings.append(self.batch)
             assert base_scalars[0] >= 1
-            if fused_step is not None:
+            if fused_step is not None or xla_packed is not None:
                 from vgen_tpu.scan.tables import _ints_to_limbs
 
                 pts = [ec.scalar_mult_base_fast(s) for s in base_scalars]
                 bx = jnp.asarray(_ints_to_limbs([p[0] for p in pts]))
                 by = jnp.asarray(_ints_to_limbs([p[1] for p in pts]))
                 rem = jnp.asarray(remainings, dtype=jnp.int32)
-                if fused_kind == "range":
+                if fused_step is not None and fused_kind == "range":
                     packed = fused_step(
                         bx, by, self.tx, self.ty, lo_w, hi_w, rem
                     )
-                else:
+                elif fused_step is not None:
                     packed = fused_step(
                         bx, by, self.tx, self.ty, dfa_f32, acc_f32,
                         jnp.int32(dev_dfa.start), rem,
+                    )
+                elif xla_range:
+                    packed = xla_packed(
+                        bx, by, self.tx, self.ty, rem, lo_w, hi_w,
+                        *self.extras,
+                    )
+                else:
+                    packed = xla_packed(
+                        bx, by, self.tx, self.ty, rem, dfa_flat, dfa_accept,
+                        jnp.int32(dev_dfa.start), *self.extras,
                     )
             else:
                 bx, by = self._base_limbs(base_scalars[0])
@@ -769,9 +791,10 @@ def benchmark_device(
     warmup_batches: int = 2,
     chain_len: int = CHAIN_LEN,
     k_sub: int = 8,
+    ignore_case: bool = False,
 ) -> dict:
     """Timed device scan (compile excluded) -> keys/s metrics dict."""
-    pat = Pattern(pattern_str)
+    pat = Pattern(pattern_str, ignore_case)
     cfg = ScanConfig(format=fmt, count=10**9, device_batch_size=batch_size)
     scanner = DeviceScanner(fmt, batch_size, chain_len=chain_len, k_sub=k_sub)
 
