@@ -9,6 +9,7 @@ import pytest
 
 from vgen_tpu import native
 from vgen_tpu.crypto.address import AddressFormat, AddressGenerator
+from vgen_tpu.pattern import Pattern
 
 pytestmark = pytest.mark.skipif(
     not native.available(), reason=f"native build failed: {native.build_error()}"
@@ -139,3 +140,41 @@ def test_native_scan_doubling_degenerate_key():
     found, ops = sc.scan(2, 1024, "p2pkh", dfa)
     assert ops == 1024
     assert key in found
+
+
+def test_native_random_scan_draws_fresh_window_per_chunk(monkeypatch):
+    """The native random scan draws a fresh uniform START per chunk
+    (sequential inside; scanner.rs:128-145 draws per key -- equivalent hit
+    distribution for uniformly-hashed targets, and documented as such).
+    Verify successive chunks are NOT contiguous continuations."""
+    import vgen_tpu.scan.scanner as sc
+    from vgen_tpu import native
+
+    if not native.available():
+        pytest.skip("native scanner unavailable")
+
+    starts = []
+    real_scan = native.NativeScanner.scan
+
+    def spy(self, start, n, fmt, dfa, **kw):
+        starts.append(start)
+        return real_scan(self, start, n, fmt, dfa, **kw)
+
+    monkeypatch.setattr(native.NativeScanner, "scan", spy)
+    stop = sc.StopFlag()
+    seen = {"n": 0}
+
+    def cb(ops):
+        seen["n"] += 1
+        if seen["n"] >= 3:
+            stop.set()
+
+    sc._scan_cpu_native(
+        Pattern("^1NeverMatchesAnything"),
+        sc.ScanConfig(use_device=False, cpu_batch_size=8192, count=1),
+        cb, stop,
+    )
+    assert len(starts) >= 3
+    gaps = [starts[i + 1] - (starts[i] + 8192) for i in range(2)]
+    # contiguous continuation would make every gap exactly 0
+    assert any(g != 0 for g in gaps), starts

@@ -440,12 +440,13 @@ class DeviceScanner:
                 count = int(arr[k, 0])
                 total_ops += int(arr[k, 1])
                 idxs = sorted(int(i) for i in arr[k, 2:] if i >= 0)
-                if count > len(idxs):
-                    # more matches than TOP_K result slots: fetch them all
-                    rem_k = (
-                        max(0, min(self.batch, end_key - base_scalar))
-                        if is_range else self.batch
-                    )
+                if count > len(idxs) and is_range:
+                    # more matches than TOP_K result slots: a RANGE scan
+                    # must report every key in the range, so fetch them all.
+                    # (Random scans just move on to fresh windows -- no
+                    # completeness obligation, and easy patterns would
+                    # otherwise trigger recovery on every window.)
+                    rem_k = max(0, min(self.batch, end_key - base_scalar))
                     idxs = full_window_indices(base_scalar, rem_k)
                 # the device masks the tx == bx doubling slot (key == 2*base)
                 # as invalid -- deterministic when base <= batch (tiny-range
@@ -594,6 +595,12 @@ def _scan_cpu_native(
             n = min(chunk, end_key - key + 1)
             key += n
         else:
+            # fresh uniform random START per chunk, sequential keys inside
+            # it.  The reference draws every key independently
+            # (scanner.rs:128-145); for a uniformly-hashed target the hit
+            # distribution is identical (each chunk is a uniformly placed
+            # window), and sequential keys let the C++ scanner reuse the
+            # incremental point-add instead of a full scalar-mult per key.
             start = 2 + _secrets.randbelow(ec.N - chunk - 3)
             n = chunk
         found, n_ops = scanner.scan(
