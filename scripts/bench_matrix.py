@@ -72,13 +72,14 @@ for fmt, iv_pat, dfa_pat, batch in CASES:
         })
         print(f"{fmt.value:22s} {kind:8s} {rate/1e6:9.2f} Mkeys/s "
               f"(wall {time.time()-t0:.0f}s)", flush=True)
+        out = {
+            "device": jax.devices()[0].device_kind,
+            "seconds_per_cell": SECS,
+            "rows": rows,
+        }
+        # write incrementally: a mid-run death keeps the finished cells
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "BENCH_MATRIX.json"), "w") as f:
+            json.dump(out, f, indent=1)
 
-out = {
-    "device": jax.devices()[0].device_kind,
-    "seconds_per_cell": SECS,
-    "rows": rows,
-}
-with open(os.path.join(os.path.dirname(__file__), "..",
-                       "BENCH_MATRIX.json"), "w") as f:
-    json.dump(out, f, indent=1)
 print(json.dumps(out))
