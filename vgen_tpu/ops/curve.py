@@ -123,6 +123,28 @@ def jacobian_add_affine(X1, Y1, Z1, x2, y2, z1_is_zero=None):
     return X3, Y3, Z3
 
 
+def jacobian_add_affine_lean(X1, Y1, Z1, x2, y2):
+    """Mixed add WITHOUT the doubling/infinity fallbacks: 8M + 3S.
+
+    Returns (X3, Y3, Z3, ok) where ok=False marks H == 0 lanes (P == ±Q:
+    would need doubling or yields infinity).  For random ladder scalars the
+    probability is vanishing, so callers mask instead of paying the
+    branch-free doubling path of jacobian_add_affine (~2x the muls)."""
+    Z1Z1 = field.square(Z1)
+    U2 = field.mul(x2, Z1Z1)
+    S2 = field.mul(field.mul(y2, Z1), Z1Z1)
+    H = field.sub(U2, X1)
+    r = field.sub(S2, Y1)
+    ok = ~u256.is_zero(H)
+    HH = field.square(H)
+    HHH = field.mul(H, HH)
+    V = field.mul(X1, HH)
+    X3 = field.sub(field.sub(field.square(r), HHH), field.mul_small(V, 2))
+    Y3 = field.sub(field.mul(r, field.sub(V, X3)), field.mul(Y1, HHH))
+    Z3 = field.mul(Z1, H)
+    return X3, Y3, Z3, ok
+
+
 def jacobian_to_affine(X, Y, Z):
     """Single-point normalization (one inversion)."""
     zi = field.inv(Z)
@@ -268,155 +290,3 @@ def scalar_mul_add_windowed_affine(scalar_limbs, table, px, py,
         0, n_windows, body, (px, py, jnp.ones((B,), dtype=bool))
     )
     return ax, ay, ok
-
-
-def _shared_inverse(dx, ok, nonzero, chain_len: int):
-    """Mask degenerate dx == 0 slots into ok and return 1/dx (batched)."""
-    from vgen_tpu.ops import field as _f
-
-    W = dx.shape[1]
-    dx_nz = ~u256.is_zero(dx)
-    if nonzero is not None:
-        ok = ok & (dx_nz | ~nonzero)
-    else:
-        ok = ok & dx_nz
-    dx_safe = u256.select(dx_nz, dx, u256.constant(1, dx.shape[1:]))
-    C = min(chain_len, W)
-    if W % C:
-        C = W
-    inv = _f.batch_inverse_chain(
-        dx_safe.reshape(16, C, W // C)
-    ).reshape(16, W)
-    return inv, ok
-
-
-def scalar_mul_add_windowed_grouped(scalar_limbs, table, px, py,
-                                    window_bits: int = 8,
-                                    groups: int = 8,
-                                    chain_len: int = 256):
-    """Q = (px, py) + t*G with the window adds spread over `groups`
-    parallel affine accumulators.
-
-    The plain affine ladder (scalar_mul_add_windowed_affine) pays 256/w
-    SEQUENTIAL Montgomery batch inversions -- each a latency-bound
-    forward+backward scan -- because every window add depends on the last.
-    But the window contributions digit_w * 2^(w*bits) * G are INDEPENDENT:
-    group j accumulates windows [j*wpg, (j+1)*wpg) into its own
-    accumulator, and each ladder step inverts ONE concatenated (16, G*B)
-    batch shared by all groups.  Sequential inversions drop from 256/w to
-    256/(w*groups) plus a log2(groups) combine tree: ~3.5x less scan
-    latency for groups=8, the P2TR ladder's dominant cost.
-
-    Accumulator j starts at a fixed offset point R_j (affine formulas
-    cannot represent the identity); the combine subtracts sum(R_j) back
-    out:  Q = P + sum_j(A_j) - sum_j(R_j).
-
-    Returns (qx, qy, ok); ok=False marks vanishing-probability x-collision
-    slots, exactly like scalar_mul_add_windowed_affine.
-    """
-    from vgen_tpu.crypto import secp256k1 as ec
-
-    assert window_bits in (4, 8, 16)
-    B = scalar_limbs.shape[1]
-    n_windows = 256 // window_bits
-    assert n_windows % groups == 0 and groups & (groups - 1) == 0
-    wpg = n_windows // groups
-    digits_per_limb = 16 // window_bits
-
-    tbl = table.astype(jnp.float32)  # (W, D, 2, 16)
-    D = tbl.shape[1]
-
-    # fixed offset points R_j = (2^200 + j) * G and their negated sum
-    # (host-computed trace constants; any distinct valid scalars work)
-    r_scalars = [(1 << 200) + j for j in range(groups)]
-    r_pts = [ec.scalar_mult(r) for r in r_scalars]
-    neg_sum = ec.scalar_mult(
-        (-sum(r_scalars)) % ec.N
-    )
-    ax = jnp.concatenate(
-        [u256.constant(pt[0], (B,)) for pt in r_pts], axis=1
-    )  # (16, G*B)
-    ay = jnp.concatenate(
-        [u256.constant(pt[1], (B,)) for pt in r_pts], axis=1
-    )
-
-    from vgen_tpu.ops import field as _f
-
-    # all window digits up front, vectorized: digits[w] = w-th window of
-    # each scalar.  Regrouped so ladder step s sees one (groups, ...) slice.
-    limbs_rep = jnp.repeat(scalar_limbs, digits_per_limb, axis=0)  # (W, B)
-    shifts = jnp.tile(
-        (jnp.arange(digits_per_limb, dtype=jnp.uint32) * window_bits), 16
-    )[:n_windows, None]
-    digits = (limbs_rep >> shifts) & jnp.uint32(D - 1)  # (W, B)
-    dig_t = jnp.transpose(
-        digits.reshape(groups, wpg, B), (1, 0, 2)
-    )  # (wpg, groups, B)
-    tbl_t = jnp.transpose(
-        tbl.reshape(groups, wpg, D, 2, 16), (1, 0, 2, 3, 4)
-    )  # (wpg, groups, D, 2, 16)
-
-    def body(carry, xs):
-        ax, ay, ok_all = carry
-        tblw, digw = xs  # (groups, D, 2, 16), (groups, B)
-        onehot = jax.nn.one_hot(digw, D, dtype=jnp.float32)  # (G, B, D)
-        # TPU f32 dots are single-pass bf16: two byte-plane contractions
-        # keep the selected u32 limbs exact (see u256.mul_wide)
-        tbl_lo = tblw % 256.0
-        tbl_hi = jnp.floor(tblw / 256.0)
-        sel = (
-            jnp.einsum("gbd,gdcl->gbcl", onehot, tbl_lo)
-            + 256.0 * jnp.einsum("gbd,gdcl->gbcl", onehot, tbl_hi)
-        )  # (G, B, 2, 16)
-        tx = jnp.transpose(sel[..., 0, :], (2, 0, 1)).reshape(
-            16, groups * B
-        ).astype(jnp.uint32)
-        ty = jnp.transpose(sel[..., 1, :], (2, 0, 1)).reshape(
-            16, groups * B
-        ).astype(jnp.uint32)
-        nonzero = (digw != 0).reshape(groups * B)
-        dx = _f.sub(tx, ax)
-        inv, ok_all = _shared_inverse(dx, ok_all, nonzero, chain_len)
-        x3, y3 = affine_add_batch(ax, ay, tx, ty, inv)
-        ax = u256.select(nonzero, x3, ax)
-        ay = u256.select(nonzero, y3, ay)
-        return (ax, ay, ok_all), None
-
-    (ax, ay, ok_all), _ = jax.lax.scan(
-        body, (ax, ay, jnp.ones((groups * B,), dtype=bool)), (tbl_t, dig_t)
-    )
-    # fold per-group degeneracy back onto the batch lane
-    ok = jnp.all(ok_all.reshape(groups, B), axis=0)
-
-    # combine tree: pairwise adds, each level one shared inversion
-    g = groups
-    ax = ax.reshape(16, g, B)
-    ay = ay.reshape(16, g, B)
-    while g > 1:
-        half = g // 2
-        a1x = ax[:, :half].reshape(16, half * B)
-        a1y = ay[:, :half].reshape(16, half * B)
-        a2x = ax[:, half:].reshape(16, half * B)
-        a2y = ay[:, half:].reshape(16, half * B)
-        dx = _f.sub(a2x, a1x)
-        inv, ok_all = _shared_inverse(dx, jnp.ones((half * B,), bool),
-                                      None, chain_len)
-        ok = ok & jnp.all(ok_all.reshape(half, B), axis=0)
-        x3, y3 = affine_add_batch(a1x, a1y, a2x, a2y, inv)
-        ax = x3.reshape(16, half, B)
-        ay = y3.reshape(16, half, B)
-        g = half
-    sx, sy = ax[:, 0], ay[:, 0]  # (16, B) = sum A_j
-
-    # Q = ((P + S) + NegOffset)
-    dx = _f.sub(sx, px)
-    inv, ok1 = _shared_inverse(dx, jnp.ones((B,), bool), None, chain_len)
-    ok = ok & ok1
-    qx, qy = affine_add_batch(px, py, sx, sy, inv)
-    nx = u256.constant(neg_sum[0], (B,))
-    ny = u256.constant(neg_sum[1], (B,))
-    dx = _f.sub(nx, qx)
-    inv, ok2 = _shared_inverse(dx, jnp.ones((B,), bool), None, chain_len)
-    ok = ok & ok2
-    qx, qy = affine_add_batch(qx, qy, nx, ny, inv)
-    return qx, qy, ok

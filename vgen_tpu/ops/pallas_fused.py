@@ -340,6 +340,126 @@ def fused_scan_mask_step(fmt: AddressFormat, batch: int, n_states: int,
 
 
 # ---------------------------------------------------------------------------
+# P2TR TapTweak ladder kernel: the XLA while-loop ladder spends ~70% of its
+# time on HBM<->VMEM copies/spills of the (16, B) accumulator state (device
+# profile, round 2).  This kernel keeps the whole Q = P + t*G computation
+# VMEM-resident per tile: tagged hash -> 32 x (one-hot MXU table select +
+# lean Jacobian mixed add), no inversions inside (Jacobian accumulation);
+# the single batch normalization happens outside in XLA.
+# ---------------------------------------------------------------------------
+
+
+def _make_p2tr_ladder_kernel(tile: int):
+    from vgen_tpu.ops import sha256 as _sha
+
+    mid = _sha.tagged_midstate("TapTweak")
+
+    def kernel(x_ref, y_ref, lo_ref, hi_ref, X_ref, Y_ref, Z_ref, ok_ref):
+        x = x_ref[...]
+        y = y_ref[...]
+        # BIP341: even-Y internal key
+        y = u256.select(y[0] & jnp.uint32(1) == 0, y, field.neg(y))
+        xb = u256.to_bytes_be(x)
+        tb = _sha.tagged_hash_32(mid, xb, unroll=True)
+        t = u256.from_bytes_be(tb)
+        n_limbs = u256.constant(field.N_INT, t.shape[1:])
+        ok = ~u256.geq(t, n_limbs)
+
+        X, Y = x, y
+        Z = u256.constant(1, x.shape[1:])
+        ids = jax.lax.broadcasted_iota(jnp.int32, (tile, 256), 1)
+        for w in range(32):
+            limb = t[w // 2]
+            digit = (limb >> jnp.uint32(8 * (w % 2))) & jnp.uint32(255)
+            oh = u256.bool_to_f32(ids == digit.astype(jnp.int32)[:, None])
+            sel = jnp.dot(
+                oh, lo_ref[w], preferred_element_type=jnp.float32
+            ) + 256.0 * jnp.dot(
+                oh, hi_ref[w], preferred_element_type=jnp.float32
+            )  # (T, 32) exact: byte planes <= 255 are bf16-exact
+            tx = u256.f32_to_u32(jnp.transpose(sel[:, :16]))
+            ty = u256.f32_to_u32(jnp.transpose(sel[:, 16:]))
+            nz = digit != 0
+            Xn, Yn, Zn, add_ok = curve.jacobian_add_affine_lean(
+                X, Y, Z, tx, ty
+            )
+            # H == 0 (P == +-Q, vanishing probability) is masked, not
+            # branched; a dead lane stays dead via the latched ok
+            ok = ok & (add_ok | ~nz)
+            X = u256.select(nz, Xn, X)
+            Y = u256.select(nz, Yn, Y)
+            Z = u256.select(nz, Zn, Z)
+        X_ref[...] = X
+        Y_ref[...] = Y
+        Z_ref[...] = Z
+        ok_ref[0, :] = jnp.where(ok, 1, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=4)
+def p2tr_ladder_fn(batch: int, tile: int = DEFAULT_TILE):
+    """Compiled VMEM-resident TapTweak ladder: (x, y (16,B), lo, hi
+    (32,256,32) f32 byte planes of the window table) -> (X, Y, Z (16,B)
+    Jacobian output key, ok (1,B))."""
+    grid = batch // tile
+    kernel = _make_p2tr_ladder_kernel(tile)
+
+    limb = lambda: pl.BlockSpec((16, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            limb(),  # x
+            limb(),  # y
+            rep((32, 256, 32)),  # lo plane
+            rep((32, 256, 32)),  # hi plane
+        ],
+        out_specs=[
+            pl.BlockSpec((16, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, batch), jnp.uint32),
+            jax.ShapeDtypeStruct((16, batch), jnp.uint32),
+            jax.ShapeDtypeStruct((16, batch), jnp.uint32),
+            jax.ShapeDtypeStruct((1, batch), jnp.int32),
+        ],
+    )
+
+
+def p2tr_output_key_pallas(x3, y3, window_table, chain_len: int = 256):
+    """Taproot output-key x-coordinate via the Pallas ladder + one XLA
+    batch normalization.  Same contract as pipeline.p2tr_output_key:
+    (qx (16,B) limbs, ok mask)."""
+    B = x3.shape[1]
+    tblf = window_table.astype(jnp.float32).reshape(32, 256, 32)
+    lo = tblf % 256.0
+    hi = jnp.floor(tblf / 256.0)
+    X, Y, Z, ok_i = p2tr_ladder_fn(B)(x3, y3, lo, hi)
+    ok = (ok_i[0] > 0) & ~u256.is_zero(Z)
+    z_safe = u256.select(ok, Z, u256.constant(1, Z.shape[1:]))
+    C = min(chain_len, B)
+    if B % C:
+        C = B
+    zi = field.batch_inverse_chain(
+        z_safe.reshape(16, C, B // C)
+    ).reshape(16, B)
+    qx = field.mul(X, field.square(zi))
+    return qx, ok
+
+
+# ---------------------------------------------------------------------------
 # Interval (anchored-prefix) fast path: hash160 range compare instead of
 # encode+DFA (pattern/intervals.py).  Tail work per key drops to
 # EC-finish + SHA-256 + RIPEMD-160 + a few word compares.

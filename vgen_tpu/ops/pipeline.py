@@ -203,6 +203,17 @@ def p2tr_output_key(x, y, window_table, unroll: bool = False):
     The reference computes the tweak per candidate on the CPU
     (gpu.rs:1282-1291); here the windowed ladder keeps it on-chip.
     Returns (qx (16,*B) limbs, ok mask)."""
+    # Q = P_internal + t*G.  On accelerators (unroll=True) the whole
+    # pipeline (even-Y normalize, tagged hash, ladder) runs in a
+    # VMEM-resident Pallas kernel with Jacobian accumulation + ONE batch
+    # normalization -- the XLA while-loop ladder was copy/spill-bound
+    # (~70% of its time moving the accumulator state, device profile r2).
+    # The fori_loop affine ladder keeps XLA:CPU compiles small for
+    # tests/fallback.
+    if unroll:
+        from vgen_tpu.ops import pallas_fused
+
+        return pallas_fused.p2tr_output_key_pallas(x, y, window_table)
     B = x.shape[1:]
     y_even = u256.select(y[0] & jnp.uint32(1) == 0, y, field.neg(y))
     xb = u256.to_bytes_be(x)
@@ -211,19 +222,9 @@ def p2tr_output_key(x, y, window_table, unroll: bool = False):
     # BIP341: t must be < n (negligible failure probability, still masked)
     n_limbs = u256.constant(field.N_INT, B)
     t_ok = ~u256.geq(t_limbs, n_limbs)
-    # Q = P_internal + t*G in affine with shared batch inversions
-    # (x-collisions masked into q_ok with vanishing probability).  On
-    # accelerators (unroll=True) the grouped ladder spreads the windows
-    # over 8 parallel accumulators, cutting the sequential inversion count
-    # ~3.5x; the fori_loop ladder keeps XLA:CPU compiles small.
-    if unroll:
-        qx, _, q_ok = curve.scalar_mul_add_windowed_grouped(
-            t_limbs, window_table, x, y_even, 8, groups=8
-        )
-    else:
-        qx, _, q_ok = curve.scalar_mul_add_windowed_affine(
-            t_limbs, window_table, x, y_even, 8
-        )
+    qx, _, q_ok = curve.scalar_mul_add_windowed_affine(
+        t_limbs, window_table, x, y_even, 8
+    )
     return qx, t_ok & q_ok
 
 
