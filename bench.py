@@ -83,9 +83,13 @@ def main():
 
             from scripts.validate_fused import run_validation
 
-            # keep stdout to the single JSON line; progress goes to stderr
+            # keep stdout to the single JSON line; progress goes to stderr.
+            # quick=1 (default): one format per path section (~5 min warm
+            # through the device tunnel); VGEN_BENCH_VALIDATE=full runs the
+            # whole matrix (~25 min)
+            quick = os.environ.get("VGEN_BENCH_VALIDATE", "1") != "full"
             with contextlib.redirect_stdout(sys.stderr):
-                validated = bool(run_validation(batch=262144))
+                validated = bool(run_validation(batch=262144, quick=quick))
         except Exception as e:  # pragma: no cover
             print(f"# validation crashed: {e!r}", file=sys.stderr)
             validated = False

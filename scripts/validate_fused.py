@@ -10,7 +10,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_validation(batch: int = 262144, tile: int = 512) -> bool:
+def run_validation(batch: int = 262144, tile: int = 512,
+                   quick: bool = False) -> bool:
     os.environ.setdefault(
         "VGEN_TPU_CACHE", os.path.expanduser("~/.cache/vgen_tpu")
     )
@@ -38,12 +39,18 @@ def run_validation(batch: int = 262144, tile: int = 512) -> bool:
     # corrupt fused and XLA paths identically, e.g. bf16 matmul rounding)
     n_oracle = 2048
     base_oracle = 0xABCDEF012345
-    for fmt, pattern in [
+    # quick=True (bench.py's per-round gate): one format per section --
+    # the full matrix runs via `python scripts/validate_fused.py` per
+    # ops-change (the device tunnel makes the full pass ~25 min)
+    def _cases(cases):
+        return cases[:1] if quick else cases
+
+    for fmt, pattern in _cases([
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "^bc1qq"),
         (AddressFormat.P2SH_P2WPKH, "^3J"),
         (AddressFormat.ETHEREUM, "^0x1[2Ff]"),  # exercises EIP-55 casing
-    ]:
+    ]):
         from vgen_tpu.pattern import Pattern as _P
 
         gen = AddressGenerator(fmt)
@@ -87,12 +94,12 @@ def run_validation(batch: int = 262144, tile: int = 512) -> bool:
     # Device hits may over-approximate by the checksum widening (< 2^-32
     # probability), so require: oracle set ⊆ device set AND every device hit
     # re-derives to a pattern match or falls in a compiled interval.
-    for fmt, pattern in [
+    for fmt, pattern in _cases([
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "^bc1qq"),
         (AddressFormat.P2SH_P2WPKH, "^3J"),
         (AddressFormat.ETHEREUM, "^0x12"),
-    ]:
+    ]):
         gen = AddressGenerator(fmt)
         pat = Pattern(pattern)
         ivs = pat.match_intervals(fmt)
@@ -134,12 +141,12 @@ def run_validation(batch: int = 262144, tile: int = 512) -> bool:
 
     # GLV interval path: a window position i hits iff ANY of the 6
     # endomorphism variants of k_i = base+1+i matches the pattern.
-    for fmt, pattern in [
+    for fmt, pattern in _cases([
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "^bc1qq"),
         (AddressFormat.P2SH_P2WPKH, "^3J"),
         (AddressFormat.ETHEREUM, "^0x12"),
-    ]:
+    ]):
         gen = AddressGenerator(fmt)
         pat = Pattern(pattern)
         ivs = pat.match_intervals(fmt)
@@ -180,11 +187,11 @@ def run_validation(batch: int = 262144, tile: int = 512) -> bool:
 
     # GLV on the generic DFA path: arbitrary (non-interval) regex, 6
     # variants per position (suffix patterns exercise the full encode)
-    for fmt, pattern in [
+    for fmt, pattern in _cases([
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "q$"),
         (AddressFormat.ETHEREUM, "^0x1[2Ff]"),
-    ]:
+    ]):
         gen = AddressGenerator(fmt)
         pat = Pattern(pattern)
 
@@ -234,7 +241,8 @@ def run_validation(batch: int = 262144, tile: int = 512) -> bool:
     from vgen_tpu.scan.tables import window_table_u32
 
     wt = jnp.asarray(window_table_u32(8))
-    for kind, pattern in [("range", "^bc1pq"), ("dfa", "^bc1p[qp]")]:
+    for kind, pattern in _cases([("range", "^bc1pq"),
+                                 ("dfa", "^bc1p[qp]")]):
         fmt = AddressFormat.P2TR
         gen = AddressGenerator(fmt)
         pat = Pattern(pattern)
@@ -290,11 +298,11 @@ def run_validation(batch: int = 262144, tile: int = 512) -> bool:
               f"missing={missing}, spurious={extra})")
         ok = ok and p2tr_ok
 
-    for fmt, pattern in [
+    for fmt, pattern in _cases([
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "^bc1qq"),
         (AddressFormat.P2SH_P2WPKH, "^3J"),
-    ]:
+    ]):
         pat = Pattern(pattern)
         dev = pat.device_dfa(fmt)
         flat, accept = pipeline.pad_device_dfa(dev)
