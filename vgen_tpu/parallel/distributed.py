@@ -62,6 +62,15 @@ def initialize(
     if _INITIALIZED:
         return jax.process_count() > 1
 
+    # CPU clusters need a cross-process collectives backend; the flag is a
+    # no-op for TPU backends, and must be set before the backend initializes
+    # (verified: 2-process x 4-virtual-device CPU mesh psum over gloo,
+    # tests/test_distributed.py)
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # pragma: no cover - older/newer jax without the flag
+        pass
+
     coordinator_address = coordinator_address or os.environ.get(
         "VGEN_COORDINATOR"
     )
