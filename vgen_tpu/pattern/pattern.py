@@ -135,14 +135,25 @@ class Pattern:
 
     # -- reference-parity analyses ----------------------------------------
 
+    @lru_cache(maxsize=1)
+    def _literal_events(self):
+        """Literal/class event stream from the redfa parser (the single
+        parsing source -- no second hand-rolled scanner; the reference
+        duplicates its scanner between pattern.rs:49-177 and :269-294)."""
+        from vgen_tpu.pattern.redfa import parse_literal_events
+
+        return tuple(parse_literal_events(self._original))
+
     def validate_charset(self, fmt: AddressFormat) -> List[str]:
         """Literal chars in the pattern that the format's alphabet excludes.
 
-        Ports the reference's hand-rolled scanner semantics
-        (pattern.rs:49-177): escapes become literals, classes are only
-        flagged when ALL members are invalid, negated classes never flag,
-        ranges expand, metacharacters outside classes are skipped.
-        """
+        Reference behavior (pattern.rs:49-177): a class is flagged only when
+        ALL its members are invalid (then every member is reported), negated
+        classes never flag, ranges expand, metacharacters and escaped atoms
+        outside classes are skipped.  Derived here from the redfa parse
+        events instead of a second scanner; '-' inside a class is treated as
+        the range operator, not a checkable literal (matching the
+        reference's prev_char/pending_range handling of [-0] / [A-])."""
         valid_chars = _VALID_CHARS[fmt.charset_name]
 
         def is_valid(c: str) -> bool:
@@ -151,69 +162,24 @@ class Pattern:
             return c in valid_chars
 
         invalid: List[str] = []
-        in_class = False
-        class_negated = False
-        class_chars: List[str] = []
-        class_start = False
-        escaped = False
-        prev_char = None
-        pending_range = False
 
-        for c in self._original:
-            if escaped:
-                escaped = False
-                if in_class:
-                    class_start = False
-                    if c not in class_chars:
-                        class_chars.append(c)
-                continue
-            if c == "\\":
-                escaped = True
-            elif c == "[":
-                in_class = True
-                class_start = True
-                class_negated = False
-                class_chars = []
-                prev_char = None
-                pending_range = False
-            elif c == "]" and in_class:
-                if not class_negated:
-                    if not any(is_valid(ch) for ch in class_chars):
-                        for ch in class_chars:
-                            if ch not in invalid:
-                                invalid.append(ch)
-                in_class = False
-                prev_char = None
-                pending_range = False
-            elif c == "^" and in_class and class_start:
-                class_negated = True
-                class_start = False
-            elif c in "^$.*+?(){}|" and not in_class:
-                class_start = False
-            elif c == "-" and in_class:
-                class_start = False
-                if prev_char is not None:
-                    pending_range = True
-            elif c.isalnum():
-                class_start = False
-                if in_class:
-                    if pending_range and prev_char is not None:
-                        lo, hi = min(prev_char, c), max(prev_char, c)
-                        for v in range(ord(lo), ord(hi) + 1):
-                            ch = chr(v)
-                            if ch not in class_chars:
-                                class_chars.append(ch)
-                        pending_range = False
-                    elif c not in class_chars:
-                        class_chars.append(c)
-                    prev_char = c
-                elif not is_valid(c) and c not in invalid:
-                    invalid.append(c)
+        def flag(c: str) -> None:
+            if c not in invalid:
+                invalid.append(c)
+
+        for ev in self._literal_events():
+            if ev[0] == "lit":
+                c = ev[1]
+                if c.isalnum() and not is_valid(c):
+                    flag(c)
             else:
-                class_start = False
-                if in_class and c not in class_chars:
-                    class_chars.append(c)
-
+                _, negated, chars = ev
+                if negated:
+                    continue
+                chars = [c for c in chars if c != "-"]
+                if chars and not any(is_valid(c) for c in chars):
+                    for c in chars:
+                        flag(c)
         return invalid
 
     def estimate_difficulty(self, fmt: AddressFormat) -> int:
@@ -225,7 +191,11 @@ class Pattern:
         else:
             alphabet = 16
 
-        fixed = _count_fixed_chars(self._original)
+        fixed = sum(
+            1
+            for ev in self._literal_events()
+            if ev[0] == "lit" and ev[1].isalnum()
+        )
 
         prefix_sub = 0
         if self._original.startswith("^"):
@@ -254,23 +224,3 @@ class Pattern:
         return min(result, (1 << 64) - 1)
 
 
-def _count_fixed_chars(pattern: str) -> int:
-    """Fixed alphanumeric chars excluding metachars/classes (pattern.rs:269-294)."""
-    count = 0
-    in_class = False
-    escaped = False
-    for c in pattern:
-        if escaped:
-            escaped = False
-            continue
-        if c == "\\":
-            escaped = True
-        elif c == "[":
-            in_class = True
-        elif c == "]":
-            in_class = False
-        elif c in "^$.*+?(){}|":
-            pass
-        elif not in_class and c.isalnum():
-            count += 1
-    return count

@@ -57,10 +57,19 @@ class RegexError(ValueError):
 
 
 class _Parser:
-    def __init__(self, pattern: str, ignore_case: bool):
+    def __init__(self, pattern: str, ignore_case: bool, events=None):
         self.src = pattern
         self.pos = 0
         self.ignore_case = ignore_case
+        # Optional side channel for charset/difficulty analysis
+        # (pattern.Pattern.validate_charset / estimate_difficulty): records
+        # ("lit", char) for each unescaped literal atom and
+        # ("class", negated, [chars in first-appearance order]) for each
+        # character class, AS PARSED -- the analyses share this parser
+        # instead of re-scanning the pattern with a second hand-rolled
+        # scanner (the reference duplicates its scanning logic between
+        # pattern.rs:49-177 and :269-294).
+        self.events = events
 
     def peek(self) -> Optional[str]:
         return self.src[self.pos] if self.pos < len(self.src) else None
@@ -214,6 +223,8 @@ class _Parser:
             return ("sym", frozenset([EOS]))
         if c == "\\":
             return ("sym", self.escape_class())
+        if self.events is not None:
+            self.events.append(("lit", c))
         return ("sym", self._literal(c))
 
     def _literal(self, c: str) -> FrozenSet[int]:
@@ -287,6 +298,13 @@ class _Parser:
             self.take()
             negated = True
         members: Set[int] = set()
+        ordered: List[int] = []  # first-appearance order, for analyses
+
+        def addm(v: int) -> None:
+            if v not in members:
+                members.add(v)
+                ordered.append(v)
+
         first = True
         while True:
             c = self.peek()
@@ -318,26 +336,29 @@ class _Parser:
                         hi = ord(hi_c)
                     if hi < lo:
                         raise RegexError("invalid class range")
-                    members |= set(range(lo, hi + 1))
+                    for v in range(lo, hi + 1):
+                        addm(v)
                     if self.ignore_case:
                         for v in range(lo, hi + 1):
                             ch = chr(v)
                             if ch.isalpha():
-                                members.add(ord(ch.swapcase()))
+                                addm(ord(ch.swapcase()))
                     continue
+                for v in sorted(esc):
+                    addm(v)
                 if self.ignore_case:
-                    for v in list(esc):
+                    for v in sorted(esc):
                         ch = chr(v)
                         if v < 128 and ch.isalpha():
-                            members.add(ord(ch.swapcase()))
-                members |= esc
+                            addm(ord(ch.swapcase()))
                 continue
             if (
                 c == "["
                 and self.pos + 1 < len(self.src)
                 and self.src[self.pos + 1] == ":"
             ):
-                members |= self._posix_class()
+                for v in sorted(self._posix_class()):
+                    addm(v)
                 continue
             self.take()
             lo = ord(c)
@@ -357,16 +378,21 @@ class _Parser:
                     hi = ord(hi_c)
                 if hi < lo:
                     raise RegexError("invalid class range")
-                members |= set(range(lo, hi + 1))
+                for v in range(lo, hi + 1):
+                    addm(v)
                 if self.ignore_case:
                     for v in range(lo, hi + 1):
                         ch = chr(v)
                         if ch.isalpha():
-                            members.add(ord(ch.swapcase()))
+                            addm(ord(ch.swapcase()))
             else:
+                addm(lo)
                 if self.ignore_case and c.isalpha():
-                    members.add(ord(c.swapcase()))
-                members.add(lo)
+                    addm(ord(c.swapcase()))
+        if self.events is not None:
+            self.events.append(
+                ("class", negated, [chr(v) for v in ordered])
+            )
         if negated:
             return frozenset(range(256)) - frozenset(members)
         return frozenset(members)
@@ -410,6 +436,19 @@ class _Parser:
         if negated:
             return frozenset(range(256)) - frozenset(members)
         return frozenset(members)
+
+
+def parse_literal_events(pattern: str) -> List[tuple]:
+    """Parse ``pattern`` (case-sensitive) and return its literal/class event
+    stream: ("lit", char) per unescaped literal atom, ("class", negated,
+    [member chars in first-appearance order]) per character class.
+
+    The single parsing source for pattern.Pattern's charset validation and
+    difficulty estimate -- case folding is applied by the caller so literal
+    atoms stay single characters."""
+    events: List[tuple] = []
+    _Parser(pattern, False, events).parse()
+    return events
 
 
 # ---------------------------------------------------------------------------
