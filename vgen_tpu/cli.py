@@ -59,7 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Disable TPU acceleration (CPU only)")
         sp.add_argument("--device-batch-size", "--gpu-batch-size",
                         dest="device_batch_size", type=int, default=None,
-                        help="Keys per device dispatch (default 262144)")
+                        help="Keys per device dispatch (default 524288 "
+                        "single-device, 262144 per mesh device)")
         sp.add_argument("--backend", default="auto",
                         choices=["auto", "tpu", "cpu"],
                         help="Device backend: auto probes the accelerator "
