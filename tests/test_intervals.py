@@ -136,3 +136,71 @@ def test_interval_words_roundtrip():
         lv = int.from_bytes(lo[j].astype(">u4").tobytes(), "big")
         hv = int.from_bytes(hi[j].astype(">u4").tobytes(), "big")
         assert lv > hv
+
+
+def test_case_insensitive_base58_intervals_sound():
+    """-i on a Base58 prefix compiles to the union of case-variant
+    intervals: every h whose address matches the pattern (case-folded)
+    must fall inside, and interval membership must imply a case-variant
+    prefix match (exact, up to checksum widening)."""
+    ivs = match_intervals(AddressFormat.P2PKH, "^1ca", True)
+    assert ivs is not None and len(ivs) <= 8
+    pat = Pattern("^1ca", case_insensitive=True)
+    rng = random.Random(99)
+    n_in = 0
+    for _ in range(4000):
+        h = rng.getrandbits(160)
+        addr = _p2pkh(h)
+        inside = any(lo <= h <= hi for lo, hi in ivs)
+        if pat.matches(addr):
+            assert inside, f"false negative for {addr}"
+            n_in += 1
+        if inside:
+            assert addr.lower().startswith("1ca")
+    # some case variant must actually occur in the sample
+    assert n_in > 0
+
+
+def test_case_insensitive_base58_interval_matches_dfa_sets():
+    """The -i interval path and the -i DFA must accept identical address
+    sets for a short prefix (up to the documented checksum widening of the
+    interval, which only ever ADDS candidates)."""
+    ivs = match_intervals(AddressFormat.P2PKH, "^1ab", True)
+    assert ivs is not None
+    pat = Pattern("^1ab", case_insensitive=True)
+    dev = pat.device_dfa(AddressFormat.P2PKH)
+    from vgen_tpu.crypto.encode import BASE58_ALPHABET
+
+    rng = random.Random(7)
+    checked_matching = 0
+    for _ in range(2000):
+        h = rng.getrandbits(160)
+        addr = _p2pkh(h)
+        syms = [BASE58_ALPHABET.index(c) for c in addr]
+        dfa_hit = dev.run(syms + [dev.eos_symbol])
+        iv_hit = any(lo <= h <= hi for lo, hi in ivs)
+        assert dfa_hit == pat.matches(addr)
+        if dfa_hit:
+            assert iv_hit  # interval is a superset of the DFA accept set
+            checked_matching += 1
+    assert checked_matching > 0
+
+
+def test_case_insensitive_base58_too_many_letters_falls_back():
+    # 5 alphabetic chars -> 32 case variants: beyond the slot budget
+    assert match_intervals(AddressFormat.P2PKH, "^1abcde", True) is None
+    # case-sensitive long literals still compile
+    assert match_intervals(AddressFormat.P2PKH, "^1abcde", False) is not None
+
+
+def test_case_insensitive_invalid_letter_variants_drop():
+    # 'l' is not base58 but 'L' is: the -i expansion keeps the L variant
+    ivs = match_intervals(AddressFormat.P2PKH, "^1l", True)
+    assert ivs  # non-empty: '1L...' addresses exist
+    rng = random.Random(3)
+    pat = Pattern("^1l", case_insensitive=True)
+    for _ in range(500):
+        h = rng.getrandbits(160)
+        addr = _p2pkh(h)
+        if pat.matches(addr):
+            assert any(lo <= h <= hi for lo, hi in ivs)

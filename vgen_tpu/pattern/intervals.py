@@ -208,6 +208,7 @@ def match_intervals(
     prefix = literal_prefix(pattern)
     if prefix is None:
         return None
+    b58_prefixes = [prefix]
     if case_insensitive and any(c.isalpha() for c in prefix):
         if fmt in (AddressFormat.P2WPKH, AddressFormat.P2TR):
             # bech32 addresses are emitted lowercase; fold and proceed
@@ -215,11 +216,36 @@ def match_intervals(
         elif fmt == AddressFormat.ETHEREUM:
             pass  # hex value is case-independent; casing filtered on host
         else:
-            return None  # Base58 is case-significant: DFA path
+            # Base58 is case-significant: expand the case-combination
+            # variants (each its own literal prefix; variants with
+            # non-base58 letters like O/I/l contribute nothing) and take
+            # the interval union.  Short alphabetic prefixes fit the
+            # MAX_INTERVALS comparator slots; longer ones exceed the slot
+            # budget below and fall back to the DFA path.  (The reference
+            # just prepends (?i) and regexes per candidate,
+            # pattern.rs:26-30.)
+            import itertools
+
+            n_alpha = sum(c.isalpha() for c in prefix)
+            if n_alpha > 4:  # 2^n variants; > 16 never fits 8 slots
+                return None
+            b58_prefixes = [
+                "".join(chars)
+                for chars in itertools.product(
+                    *[
+                        (c.lower(), c.upper()) if c.isalpha() else (c,)
+                        for c in prefix
+                    ]
+                )
+            ]
     if fmt in (AddressFormat.P2PKH, AddressFormat.P2PKH_UNCOMPRESSED):
-        ivs = _base58check_intervals(0, prefix)
+        ivs = _merge(
+            [iv for p in b58_prefixes for iv in _base58check_intervals(0, p)]
+        )
     elif fmt == AddressFormat.P2SH_P2WPKH:
-        ivs = _base58check_intervals(5, prefix)
+        ivs = _merge(
+            [iv for p in b58_prefixes for iv in _base58check_intervals(5, p)]
+        )
     elif fmt == AddressFormat.P2WPKH:
         ivs = _bech32_intervals(prefix, 0, 160)
     elif fmt == AddressFormat.P2TR:
