@@ -206,3 +206,17 @@ def test_random_scan_beyond_topk():
     )
     assert len(res.matches) == 40
     assert all(m.address.startswith("1") for m in res.matches)
+
+
+def test_random_scan_recovers_window_for_large_count():
+    """count exceeding what the TOP_K slots (x GLV variants) can deliver
+    must trigger full-window recovery instead of burning extra windows:
+    one 256-key window of an always-match pattern satisfies count=100
+    (16 slots x 6 GLV variants = 96 < 100 forces the recovery dispatch)."""
+    res = sc.scan_with_progress(
+        Pattern("^1"), config(format=AddressFormat.P2PKH, count=100)
+    )
+    assert len(res.matches) == 100
+    # ops == one GLV window (6 keys per position): recovery, not new windows
+    assert res.operations == 6 * BATCH
+    assert all(m.address.startswith("1") for m in res.matches)

@@ -570,11 +570,23 @@ class MeshScanner:
                 base_d = base_scalar + j * self.batch
                 count = int(arr[j, 0])
                 idxs = sorted(int(i) for i in arr[j, 2:] if i >= 0)
-                if count > len(idxs) and is_range:
-                    # more matches than TOP_K result slots: a RANGE scan
-                    # must report every key, so fetch them all (random
-                    # scans move on to fresh windows instead)
-                    rem_d = max(0, min(self.batch, end_key - base_d))
+                if count > len(idxs) and (
+                    is_range
+                    or (
+                        target != float("inf")
+                        and len(matches)
+                        + len(idxs) * (6 if self.glv_active else 1)
+                        < target
+                    )
+                ):
+                    # more matches than TOP_K result slots: RANGE scans
+                    # always recover (every key must be reported); RANDOM
+                    # scans recover only when the truncated slots cannot
+                    # reach the requested count (see scan.scanner drain_one)
+                    rem_d = (
+                        max(0, min(self.batch, end_key - base_d))
+                        if is_range else self.batch
+                    )
                     idxs = self._full_window_indices(pattern, base_d, rem_d)
                 # host-check the masked tx == bx doubling slot
                 # (key == 2*base_d; deterministic when base_d <= batch --

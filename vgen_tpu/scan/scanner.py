@@ -440,13 +440,25 @@ class DeviceScanner:
                 count = int(arr[k, 0])
                 total_ops += int(arr[k, 1])
                 idxs = sorted(int(i) for i in arr[k, 2:] if i >= 0)
-                if count > len(idxs) and is_range:
-                    # more matches than TOP_K result slots: a RANGE scan
-                    # must report every key in the range, so fetch them all.
-                    # (Random scans just move on to fresh windows -- no
-                    # completeness obligation, and easy patterns would
-                    # otherwise trigger recovery on every window.)
-                    rem_k = max(0, min(self.batch, end_key - base_scalar))
+                if count > len(idxs) and (
+                    is_range
+                    or (
+                        target != float("inf")
+                        and len(matches) + len(idxs) * (6 if glv else 1)
+                        < target
+                    )
+                ):
+                    # more matches than TOP_K result slots.  RANGE scans
+                    # must report every key in the range: always fetch the
+                    # full window.  RANDOM scans recover only when the
+                    # truncated slots cannot reach the requested count --
+                    # easy patterns with small counts move on to fresh
+                    # windows instead of paying a recovery dispatch per
+                    # window (the round-2 pathology).
+                    rem_k = (
+                        max(0, min(self.batch, end_key - base_scalar))
+                        if is_range else self.batch
+                    )
                     idxs = full_window_indices(base_scalar, rem_k)
                 # the device masks the tx == bx doubling slot (key == 2*base)
                 # as invalid -- deterministic when base <= batch (tiny-range
