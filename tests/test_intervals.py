@@ -204,3 +204,46 @@ def test_case_insensitive_invalid_letter_variants_drop():
         addr = _p2pkh(h)
         if pat.matches(addr):
             assert any(lo <= h <= hi for lo, hi in ivs)
+
+
+def test_prefilter_intervals_prefix_superset():
+    """prefilter_intervals must cover every address matching the FULL
+    pattern (superset), with probability matching the prefix width."""
+    from vgen_tpu.pattern.intervals import prefilter_intervals
+
+    pf = prefilter_intervals(AddressFormat.P2PKH, "^1C[ab]x.*z", False)
+    assert pf is not None
+    ivs, p = pf
+    assert 0 < p < 1e-4  # ~2.5 * 2/58^3 (leading "1" is the zero-byte marker)
+    pat = Pattern("^1C[ab]x.*z")
+    rng = random.Random(11)
+    hits = 0
+    for _ in range(3000):
+        h = rng.getrandbits(160)
+        addr = _p2pkh(h)
+        if pat.matches(addr):
+            assert any(lo <= h <= hi for lo, hi in ivs)
+            hits += 1
+        # membership implies the PREFIX matches
+        if any(lo <= h <= hi for lo, hi in ivs):
+            assert addr.startswith(("1Ca", "1Cb"))
+
+
+def test_prefilter_intervals_unanchored_none():
+    from vgen_tpu.pattern.intervals import prefilter_intervals
+
+    assert prefilter_intervals(AddressFormat.P2PKH, "Cat", False) is None
+    # quantifier immediately after ^: no usable literal prefix
+    assert prefilter_intervals(AddressFormat.P2PKH, "^1*", False) is None
+
+
+def test_prefilter_intervals_shrinks_to_feasible_prefix():
+    """A wide class position stops the prefix but the literal head still
+    compiles."""
+    from vgen_tpu.pattern.intervals import prefilter_intervals
+
+    pf = prefilter_intervals(AddressFormat.P2PKH, "^1Cat[a-zA-Z0-9]{4}Q",
+                             False)
+    assert pf is not None
+    ivs, p = pf
+    assert p < 1e-4  # at least the ^1Cat prefix

@@ -220,3 +220,34 @@ def test_random_scan_recovers_window_for_large_count():
     # ops == one GLV window (6 keys per position): recovery, not new windows
     assert res.operations == 6 * BATCH
     assert all(m.address.startswith("1") for m in res.matches)
+
+
+def test_prefilter_hybrid_range_scan_finds_key():
+    """A class pattern (no exact interval compilation) with a selective
+    literal prefix must still find its key -- the scanner routes it down
+    the interval path as a pre-filter and regex-checks survivors."""
+    key = 0x54321
+    addr = AddressGenerator(AddressFormat.P2PKH).generate(
+        key.to_bytes(32, "big")
+    ).address
+    # e.g. addr '1ABCDE...' -> pattern '^1ABCD[Ex]' : class => DFA-nominal
+    pat = Pattern(f"^{addr[:5]}[{addr[5]}x]")
+    assert pat.match_intervals(AddressFormat.P2PKH) is None
+    scanner = sc.DeviceScanner(AddressFormat.P2PKH, BATCH, chain_len=BATCH)
+    cfg = config(format=AddressFormat.P2PKH, count=0, start=0x54000,
+                 end=0x54FFF)
+    assert scanner._plan_intervals(pat, cfg) is not None  # hybrid active
+    res = scanner.scan(pat, cfg)
+    assert key.to_bytes(32, "big").hex() in [m.hex for m in res.matches]
+    assert res.operations == 0x1000
+    # and every reported match satisfies the FULL pattern
+    assert all(pat.matches(m.address) for m in res.matches)
+
+
+def test_prefilter_gate_falls_back_for_weak_prefix():
+    """'^1.at' has prefix '1' (p ~ 1): far beyond the survivor budget, so
+    the planner must return None (pure DFA path)."""
+    pat = Pattern("^1.at")
+    scanner = sc.DeviceScanner(AddressFormat.P2PKH, BATCH, chain_len=BATCH)
+    cfg = config(format=AddressFormat.P2PKH)
+    assert scanner._plan_intervals(pat, cfg) is None

@@ -272,6 +272,28 @@ class MeshScanner:
         by = _put_global(np.asarray(_ints_to_limbs(ys)), self._sharding_d)
         return bx, by
 
+    PREFILTER_MAX_SURVIVORS = 8.0
+
+    def _plan_intervals(self, pattern: Pattern, allow_glv: bool):
+        """Exact intervals, else the longest-prefix over-approximation when
+        selective enough (see scan.scanner.DeviceScanner._plan_intervals --
+        the drain regex-filters survivors either way)."""
+        from vgen_tpu.ops import pipeline
+
+        ivs = pattern.match_intervals(self.fmt)
+        if ivs is not None:
+            return ivs
+        pf = pattern.prefilter_intervals(self.fmt)
+        if pf is None:
+            return None
+        pf_ivs, p = pf
+        glv_mult = (
+            6 if (allow_glv and self.fmt in pipeline.GLV_FORMATS) else 1
+        )
+        if p * self.batch * glv_mult <= self.PREFILTER_MAX_SURVIVORS:
+            return pf_ivs
+        return None
+
     def _plan(self, pattern: Pattern, allow_glv: bool):
         """Choose the execution path for this pattern: ("frange" | "fdfa" |
         "xrange" | "xdfa", glv, k_sub).  Fused Pallas paths (Mosaic) apply
@@ -279,7 +301,7 @@ class MeshScanner:
         everything else uses the XLA tails with one window per device."""
         from vgen_tpu.ops import pipeline
 
-        ivs = pattern.match_intervals(self.fmt)
+        ivs = self._plan_intervals(pattern, allow_glv)
         glv = allow_glv and self.fmt in pipeline.GLV_FORMATS
         if self._fused_capable:
             from vgen_tpu.ops import pallas_fused
@@ -339,7 +361,7 @@ class MeshScanner:
             # step expects per-device (K, 16) bases / (K,) remaining
             rem_dev = _put_global(rem_np, self._sharding_d)
             if kind == "frange":
-                ivs = pattern.match_intervals(self.fmt)
+                ivs = self._plan_intervals(pattern, allow_glv)
                 lo, hi = pipeline.intervals_to_words(
                     ivs, n_slots=pipeline.interval_slot_count(len(ivs))
                 )
@@ -369,7 +391,7 @@ class MeshScanner:
 
         rem_dev = _put_global(rem_np, self._sharding_d)
         if kind == "xrange":
-            ivs = pattern.match_intervals(self.fmt)
+            ivs = self._plan_intervals(pattern, allow_glv)
             lo, hi = pipeline.intervals_to_words(
                 ivs, pipeline.INTERVAL_WORDS[self.fmt],
                 n_slots=pipeline.interval_slot_count(len(ivs)),
@@ -440,7 +462,7 @@ class MeshScanner:
         pt = ec.scalar_mult_base_fast(base_scalar)
         bx = jnp.asarray(_ints_to_limbs([pt[0]])[0])
         by = jnp.asarray(_ints_to_limbs([pt[1]])[0])
-        ivs = pattern.match_intervals(self.fmt)
+        ivs = self._plan_intervals(pattern, self.glv_active)
         if ivs is not None:
             lo, hi = pipeline.intervals_to_words(
                 ivs, pipeline.INTERVAL_WORDS[self.fmt],

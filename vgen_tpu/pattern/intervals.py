@@ -193,6 +193,109 @@ def _eth_intervals(prefix: str) -> Optional[List[Interval]]:
     return [(qval << shift, ((qval + 1) << shift) - 1)]
 
 
+def _prefix_char_sets(pattern: str, case_insensitive: bool):
+    """Per-position character sets of the pattern's anchored prefix, from
+    the redfa AST: the run of single-symbol atoms (literals/classes)
+    following ^, stopping at the first quantifier/alternation/anchor or
+    any unenumerable (> 64 chars) class."""
+    from vgen_tpu.pattern.redfa import BOT, EOS, RegexError, _Parser
+
+    try:
+        node = _Parser(pattern, case_insensitive).parse()
+    except RegexError:
+        return None
+    seq = node[1] if node[0] == "cat" else [node]
+    if not seq or seq[0][0] != "sym" or seq[0][1] != frozenset([BOT]):
+        return None
+    sets = []
+    for nd in seq[1:]:
+        if nd[0] != "sym":
+            break
+        s = nd[1]
+        if BOT in s or EOS in s or len(s) > 64:
+            break
+        sets.append("".join(sorted(chr(b) for b in s)))
+    return sets or None
+
+
+def _compile_prefix(fmt: AddressFormat, prefix: str) -> Optional[List[Interval]]:
+    """Interval union for one literal address prefix (None = needs DFA)."""
+    if fmt in (AddressFormat.P2PKH, AddressFormat.P2PKH_UNCOMPRESSED):
+        return _base58check_intervals(0, prefix)
+    if fmt == AddressFormat.P2SH_P2WPKH:
+        return _base58check_intervals(5, prefix)
+    if fmt == AddressFormat.P2WPKH:
+        return _bech32_intervals(prefix, 0, 160)
+    if fmt == AddressFormat.P2TR:
+        return _bech32_intervals(prefix, 1, 256)
+    if fmt == AddressFormat.ETHEREUM:
+        return _eth_intervals(prefix.lower())
+    return None  # pragma: no cover
+
+
+_VALUE_BITS = {
+    AddressFormat.P2PKH: 160,
+    AddressFormat.P2PKH_UNCOMPRESSED: 160,
+    AddressFormat.P2SH_P2WPKH: 160,
+    AddressFormat.P2WPKH: 160,
+    AddressFormat.P2TR: 256,
+    AddressFormat.ETHEREUM: 160,
+}
+
+_MAX_PREFIX_VARIANTS = 256
+
+
+@lru_cache(maxsize=256)
+def prefilter_intervals(
+    fmt: AddressFormat, pattern: str, case_insensitive: bool
+) -> Optional[Tuple[Tuple[Interval, ...], float]]:
+    """Interval OVER-approximation of a general pattern via its longest
+    interval-compilable anchored prefix, plus the approximation's match
+    probability.
+
+    A pattern like ``^1C[ab]x.*z`` is not interval-compilable, but its
+    prefix ``^1C[ab]x`` is (two literal variants); matching the prefix
+    intervals on-device and running the full regex only on the (rare)
+    survivors on the host turns the 2.4x-slower DFA path back into the
+    interval fast path.  Soundness is inherited from the interval
+    contract: every full-pattern match is a prefix match, and the scan
+    drain already regex-filters every reported candidate.
+
+    Returns (intervals, probability) for the LONGEST feasible prefix
+    (longer prefix => lower survivor probability), or None when no prefix
+    is usable.  The caller gates on probability * window size to bound
+    host-side survivor work.
+    """
+    sets = _prefix_char_sets(pattern, case_insensitive)
+    if sets is None:
+        return None
+    bits = _VALUE_BITS[fmt]
+    import itertools
+
+    for k in range(len(sets), 0, -1):
+        n_var = 1
+        for s in sets[:k]:
+            n_var *= len(s)
+        if n_var > _MAX_PREFIX_VARIANTS:
+            continue
+        ivs: List[Interval] = []
+        feasible = True
+        for chars in itertools.product(*sets[:k]):
+            got = _compile_prefix(fmt, "".join(chars))
+            if got is None:  # e.g. bech32 prefix reaching the checksum
+                feasible = False
+                break
+            ivs.extend(got)
+        if not feasible:
+            continue
+        merged = _merge(ivs)
+        if len(merged) > MAX_INTERVALS:
+            continue
+        p = sum(hi - lo + 1 for lo, hi in merged) / float(1 << bits)
+        return tuple(merged), p
+    return None
+
+
 @lru_cache(maxsize=256)
 def match_intervals(
     fmt: AddressFormat, pattern: str, case_insensitive: bool

@@ -133,6 +133,18 @@ class Pattern:
 
         return match_intervals(fmt, self._original, self._case_insensitive)
 
+    def prefilter_intervals(self, fmt: AddressFormat):
+        """Interval over-approximation via the longest compilable anchored
+        prefix (see pattern.intervals.prefilter_intervals): (intervals,
+        match probability) or None.  Used by the scanners to keep general
+        patterns with selective literal prefixes on the interval fast path,
+        with the full regex applied to survivors on the host."""
+        from vgen_tpu.pattern.intervals import prefilter_intervals
+
+        return prefilter_intervals(
+            fmt, self._original, self._case_insensitive
+        )
+
     # -- reference-parity analyses ----------------------------------------
 
     @lru_cache(maxsize=1)

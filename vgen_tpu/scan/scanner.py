@@ -157,6 +157,37 @@ class DeviceScanner:
         by = jnp.asarray(_ints_to_limbs([pt[1]])[0])
         return bx, by
 
+    # expected interval-prefilter survivors per window above which the
+    # hybrid path is not worth the host-side regex work per survivor
+    PREFILTER_MAX_SURVIVORS = 8.0
+
+    def _plan_intervals(self, pattern: Pattern, config: ScanConfig):
+        """Intervals to scan with: exact compilation when the pattern is an
+        anchored literal, else the longest-prefix over-approximation when
+        it is selective enough (expected survivors per window within
+        PREFILTER_MAX_SURVIVORS -- the drain regex-filters survivors on the
+        host either way, so both are sound).  None -> DFA path."""
+        from vgen_tpu.ops import pipeline
+
+        ivs = pattern.match_intervals(config.format)
+        if ivs is not None:
+            return ivs
+        pf = pattern.prefilter_intervals(config.format)
+        if pf is None:
+            return None
+        pf_ivs, p = pf
+        glv_mult = (
+            6
+            if (
+                config.start is None
+                and config.format in pipeline.GLV_FORMATS
+            )
+            else 1
+        )
+        if p * self.batch * glv_mult <= self.PREFILTER_MAX_SURVIVORS:
+            return pf_ivs
+        return None
+
     def scan(
         self,
         pattern: Pattern,
@@ -189,7 +220,7 @@ class DeviceScanner:
             from vgen_tpu.ops import pallas_fused
 
             if config.format in pallas_fused.RANGE_FORMATS:
-                ivs = pattern.match_intervals(config.format)
+                ivs = self._plan_intervals(pattern, config)
                 if ivs is not None:
                     # GLV: random scans may substitute any of the 6
                     # endomorphism variants {±k, ±λk, ±λ²k} for a window
@@ -236,7 +267,7 @@ class DeviceScanner:
         xla_range = False
         xla_packed = None
         if fused_step is None:
-            ivs = pattern.match_intervals(config.format)
+            ivs = self._plan_intervals(pattern, config)
             if ivs is not None:
                 glv = (
                     config.start is None
