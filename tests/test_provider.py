@@ -102,3 +102,36 @@ def test_external_json_override_with_kind(tmp_path, monkeypatch):
     r = provider.resolve("boha:b1000:102")
     assert r.format == AddressFormat.P2WPKH
     assert r.address.startswith("bc1q")
+
+
+def test_external_collection_resolves(tmp_path, monkeypatch):
+    """Non-b1000 boha collections resolve through the external-JSON hook
+    (offline scope cut documented in README; reference routes any boha
+    collection, provider.rs:17-20)."""
+    import json
+
+    data = {
+        "gsmg": {
+            "1": {
+                "address": "1GSMG1JC9wtdSwfwApgj2xcmJPAwx7prBe",
+                "kind": "p2pkh",
+                "range": ["1", "ffffffff"],
+            }
+        }
+    }
+    p = tmp_path / "puzzles.json"
+    p.write_text(json.dumps(data))
+    monkeypatch.setenv("VGEN_TPU_PUZZLES", str(p))
+    from vgen_tpu import provider
+
+    res = provider.resolve("boha:gsmg:1")
+    assert res.address == "1GSMG1JC9wtdSwfwApgj2xcmJPAwx7prBe"
+    assert res.key_range == (1, 0xFFFFFFFF)
+
+
+def test_unknown_collection_error_mentions_hook(monkeypatch):
+    monkeypatch.delenv("VGEN_TPU_PUZZLES", raising=False)
+    from vgen_tpu import provider
+
+    with pytest.raises(provider.ProviderError, match="VGEN_TPU_PUZZLES"):
+        provider.resolve("boha:gsmg:1")

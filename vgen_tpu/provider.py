@@ -163,7 +163,24 @@ def _resolve_boha(path: str) -> ProviderResult:
         raise ProviderError(f"invalid puzzle reference 'boha:{path}'")
     collection, num_str = parts
     if collection != "b1000":
-        raise ProviderError(f"unknown collection '{collection}'")
+        # boha ships further collections (gsmg, bitaps, ... --
+        # reference README.md:115); their data cannot be verified in this
+        # offline build, so they resolve only via the external-JSON hook:
+        # {"<collection>": {"<id>": {"address": ..., "kind": ...,
+        #  "range": [lo_hex, hi_hex]}}}
+        ext = _external_puzzles().get(collection, {}).get(num_str)
+        if ext and "address" in ext:
+            fmt = AddressFormat.from_str(ext.get("kind", "p2pkh"))
+            rng = ext.get("range")
+            key_range = (
+                (int(rng[0], 16), int(rng[1], 16)) if rng else None
+            )
+            return ProviderResult(ext["address"], fmt, key_range)
+        raise ProviderError(
+            f"unknown collection '{collection}' (b1000 is embedded; other "
+            f"boha collections resolve via $VGEN_TPU_PUZZLES -- see "
+            f"vgen_tpu/provider.py)"
+        )
     try:
         n = int(num_str)
     except ValueError:
