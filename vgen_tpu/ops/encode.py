@@ -94,14 +94,27 @@ def _base58_from_payload25(payload, basis=None):
     if basis is None:
         basis = jnp.asarray(_POW256_B58)  # (34, 25)
     payload_f = u32_to_f32(payload)
-    payload_2d = payload_f.reshape(25, -1)
-    acc = f32_to_u32(
-        jax.lax.dot(
-            basis, payload_2d,
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32,
-        )
-    ).reshape((34,) + tuple(B))  # entries < 25*57*255 < 2^19
+    if payload_f.ndim == 3:
+        # (V, T) 2D-batch kernels: contract the byte dim directly -- a
+        # flattening reshape would be a Mosaic relayout, and 3D dot_general
+        # lowers fine (verified on-device, round 3)
+        acc = f32_to_u32(
+            jax.lax.dot_general(
+                basis, payload_f,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )
+        )  # (34, V, T)
+    else:
+        payload_2d = payload_f.reshape(25, -1)
+        acc = f32_to_u32(
+            jax.lax.dot(
+                basis, payload_2d,
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32,
+            )
+        ).reshape((34,) + tuple(B))  # entries < 25*57*255 < 2^19
 
     # one forward carry sweep in base 58 (carry < 2^19/58 + ... < 2^14)
     digits_lsd = []

@@ -31,6 +31,42 @@ from vgen_tpu.ops import curve, encode, field, pipeline, u256
 
 DEFAULT_TILE = 512
 
+# Sublane rows per kernel tile.  Tiles are (16, V, T) limb blocks -- the
+# batch is 2D (V sublane rows x T lanes) INSIDE the kernel, so every
+# word-path / carry-chain op processes V*T lanes per instruction.  The VPU
+# is latency-bound on dependent chains of narrow ops (measured round 3:
+# ~150 G lane-ops/s on (512,) rows vs ~890 G marginal at width 16;
+# scripts/microbench_rows.py), and the hash word paths are exactly such
+# chains -- the flat-row GLV interval kernel ran 4.7x slower than the
+# (8, 512)-tiled one (scripts/proto_vtile.py, bit-exact).
+V_SUB = 8
+
+
+def _tile_plan(batch: int, tile: int, max_keys: int = 4096):
+    """Choose the (vsub, tile) block shape for a batch.
+
+    max_keys is the per-tile VMEM budget: the DFA kernels' live state
+    (symbol arrays + one-hots) overflows the 16 MB scoped VMEM at 4096
+    keys/tile, so they run at 2048.  Mosaic requires the block's
+    second-minor dim to be divisible by 8 or equal to the array dim, so
+    the budget shrinks the LANE tile (keeping vsub = 8); small batches
+    fall back to one whole-array block."""
+    tile = min(tile, batch, max(128, max_keys // V_SUB))
+    while batch % tile:
+        tile //= 2
+    nv = batch // tile
+    vsub = V_SUB if nv % V_SUB == 0 else nv
+    return vsub, tile
+
+
+def _tile_gidx(i, v: int, t: int):
+    """Global key index of each (V, T) tile position for grid step i."""
+    return (
+        i * (v * t)
+        + jax.lax.broadcasted_iota(jnp.int32, (v, t), 0) * t
+        + jax.lax.broadcasted_iota(jnp.int32, (v, t), 1)
+    )
+
 
 def _ec_finish(bx, by, tx, ty, inv_dx):
     """Affine add with precomputed inverse + validity (dx == 0) mask."""
@@ -75,35 +111,42 @@ def _symbols_for(fmt: AddressFormat, x3, y3, b58_basis):
 
 
 def _match_tile(table_f32, accept_f32, start, syms, length):
-    """DFA over (T_sym, T) symbols inside the kernel (same matmul scheme as
-    pipeline.match_symbols, unrolled over positions -- T_sym is small)."""
+    """DFA over (T_sym, *B) symbols inside the kernel (same matmul scheme
+    as pipeline.match_symbols, unrolled over positions -- T_sym is small).
+    B may be flat (T,) or a 2D (V, T) tile; dot_general contracts the
+    symbol one-hot's leading dim either way."""
     S, W = table_f32.shape
     assert S <= 256, "bf16 matmul keeps DFA state ids exact only up to 256"
-    T = syms.shape[1]
-    sids = jax.lax.broadcasted_iota(jnp.int32, (S, T), 0)
+    B = syms.shape[1:]
+    sids = jax.lax.broadcasted_iota(jnp.int32, (S,) + B, 0)
     sids_f = sids.astype(jnp.float32)
-    wids = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
+    wids = jax.lax.broadcasted_iota(jnp.int32, (W,) + B, 0)
     state1h = u256.bool_to_f32(sids == start)
     n_pos = syms.shape[0]
     eos = jnp.int32(W - 2)
     pad = jnp.int32(W - 1)
+    acc_b = accept_f32.reshape((S,) + (1,) * len(B))
     for j in range(n_pos + 1):
         row = syms[min(j, n_pos - 1)]
         sym = jnp.where(j < length, row, jnp.where(j == length, eos, pad))
-        sym1h = u256.bool_to_f32(wids == sym[None, :])
-        R = jnp.dot(table_f32, sym1h, preferred_element_type=jnp.float32)
+        sym1h = u256.bool_to_f32(wids == sym[None])
+        R = jax.lax.dot_general(
+            table_f32, sym1h,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         next_id = jnp.sum(state1h * R, axis=0)
-        state1h = u256.bool_to_f32(sids_f == next_id[None, :])
-    acc = jnp.sum(state1h * accept_f32, axis=0)
+        state1h = u256.bool_to_f32(sids_f == next_id[None])
+    acc = jnp.sum(state1h * acc_b, axis=0)
     return acc > 0.5
 
 
-def _make_kernel(fmt: AddressFormat, tile: int, batch: int):
+def _make_kernel(fmt: AddressFormat, vsub: int, tile: int, batch: int):
     def kernel(start_ref, rem_ref, bx_ref, by_ref, tx_ref, ty_ref, inv_ref,
                dfa_ref, acc_ref, b58_ref, match_ref):
         i = pl.program_id(0)
-        bx = bx_ref[:, 0][:, None]  # (16, 1) broadcasts over (16, T)
-        by = by_ref[:, 0][:, None]
+        bx = bx_ref[:, 0, 0][:, None, None]  # broadcasts over (16, V, T)
+        by = by_ref[:, 0, 0][:, None, None]
         tx = tx_ref[...]
         ty = ty_ref[...]
         inv_dx = inv_ref[...]
@@ -113,20 +156,18 @@ def _make_kernel(fmt: AddressFormat, tile: int, batch: int):
 
         start = start_ref[0]
         remaining = rem_ref[0]
-        gidx = i * tile + jax.lax.broadcasted_iota(
-            jnp.int32, (1, tile), 1
-        )[0]
-        valid = valid & (gidx < remaining)
+        valid = valid & (_tile_gidx(i, vsub, tile) < remaining)
 
         matched = _match_tile(
             dfa_ref[...], acc_ref[...], start, syms, length
         )
-        match_ref[0, :] = jnp.where(matched & valid, 1, 0)
+        match_ref[0] = jnp.where(matched & valid, 1, 0)
 
     return kernel
 
 
-def _make_glv_dfa_kernel(fmt: AddressFormat, tile: int, batch: int):
+def _make_glv_dfa_kernel(fmt: AddressFormat, vsub: int, tile: int,
+                         batch: int):
     """GLV DFA kernel: each window position DFA-matches the addresses of
     all 6 endomorphism variants {±k, ±λk, ±λ²k} -- 6 keys per EC add for
     arbitrary regex patterns, not just interval-compilable prefixes.  The
@@ -138,8 +179,8 @@ def _make_glv_dfa_kernel(fmt: AddressFormat, tile: int, batch: int):
     def kernel(start_ref, rem_ref, bx_ref, by_ref, tx_ref, ty_ref, inv_ref,
                dfa_ref, acc_ref, b58_ref, match_ref):
         i = pl.program_id(0)
-        bx = bx_ref[:, 0][:, None]
-        by = by_ref[:, 0][:, None]
+        bx = bx_ref[:, 0, 0][:, None, None]
+        by = by_ref[:, 0, 0][:, None, None]
         if fmt == AddressFormat.ETHEREUM:
             x3, y3, valid = _ec_finish(bx, by, tx_ref[...], ty_ref[...],
                                        inv_ref[...])
@@ -150,10 +191,7 @@ def _make_glv_dfa_kernel(fmt: AddressFormat, tile: int, batch: int):
             ys = (None, None)
         start = start_ref[0]
         remaining = rem_ref[0]
-        gidx = i * tile + jax.lax.broadcasted_iota(
-            jnp.int32, (1, tile), 1
-        )[0]
-        valid = valid & (gidx < remaining)
+        valid = valid & (_tile_gidx(i, vsub, tile) < remaining)
         beta = u256.constant(ec.BETA, x3.shape[1:])
         beta2 = u256.constant(ec.BETA2, x3.shape[1:])
         matched = jnp.zeros(x3.shape[1:], dtype=bool)
@@ -165,7 +203,7 @@ def _make_glv_dfa_kernel(fmt: AddressFormat, tile: int, batch: int):
                 m = _match_tile(dfa_ref[...], acc_ref[...], start, syms,
                                 length)
                 matched = matched | m
-        match_ref[0, :] = jnp.where(matched & valid, 1, 0)
+        match_ref[0] = jnp.where(matched & valid, 1, 0)
 
     return kernel
 
@@ -176,13 +214,18 @@ def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
     """Compiled fused matcher: (start, remaining, bx, by, tx, ty, inv_dx,
     dfa_f32 (S,W), accept_f32 (S,1)) -> match (1, batch) int32."""
     width = pipeline.FORMAT_DFA_WIDTH[fmt]
-    grid = batch // tile
+    # VMEM budget: the plain DFA kernel's live state fits 2048 keys/tile;
+    # the GLV variant carries 6 hash+DFA chains and fits 1024 (measured
+    # scoped-VMEM OOMs at the next size up, round 3)
+    vsub, tile = _tile_plan(batch, tile, max_keys=1024 if glv else 2048)
+    nv = batch // tile
+    grid = nv // vsub
     maker = _make_glv_dfa_kernel if glv else _make_kernel
-    kernel = maker(fmt, tile, batch)
+    kernel = maker(fmt, vsub, tile, batch)
 
-    limb = lambda: pl.BlockSpec((16, tile), lambda i: (0, i),
+    limb = lambda: pl.BlockSpec((16, vsub, tile), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
-    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
@@ -191,8 +234,8 @@ def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # start (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # remaining (1,)
-            rep((16, 1)),  # bx
-            rep((16, 1)),  # by
+            rep((16, 1, 1)),  # bx
+            rep((16, 1, 1)),  # by
             limb(),  # tx
             limb(),  # ty
             limb(),  # inv_dx
@@ -200,9 +243,9 @@ def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
             rep((n_states, 1)),  # accept f32
             rep((34, 25)),  # base58 power basis f32
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, vsub, tile), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, batch), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, nv, tile), jnp.int32),
     )
 
     def fn(start, remaining, bx, by, tx, ty, inv_dx, dfa_f32, accept_f32):
@@ -211,15 +254,15 @@ def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
         return call(
             jnp.reshape(jnp.asarray(start, dtype=jnp.int32), (1,)),
             jnp.reshape(jnp.asarray(remaining, dtype=jnp.int32), (1,)),
-            bx.reshape(16, 1),
-            by.reshape(16, 1),
-            tx,
-            ty,
-            inv_dx,
+            bx.reshape(16, 1, 1),
+            by.reshape(16, 1, 1),
+            tx.reshape(16, nv, tile),
+            ty.reshape(16, nv, tile),
+            inv_dx.reshape(16, nv, tile),
             dfa_f32,
             accept_f32,
             jnp.asarray(_POW256_B58),
-        )
+        ).reshape(1, batch)
 
     return fn
 
@@ -349,13 +392,13 @@ def fused_scan_mask_step(fmt: AddressFormat, batch: int, n_states: int,
 # ---------------------------------------------------------------------------
 
 
-def _make_p2tr_ladder_kernel(tile: int):
+def _make_p2tr_ladder_kernel(vsub: int, tile: int):
     from vgen_tpu.ops import sha256 as _sha
 
     mid = _sha.tagged_midstate("TapTweak")
 
     def kernel(x_ref, y_ref, lo_ref, hi_ref, X_ref, Y_ref, Z_ref, ok_ref):
-        x = x_ref[...]
+        x = x_ref[...]  # (16, V, T)
         y = y_ref[...]
         # BIP341: even-Y internal key
         y = u256.select(y[0] & jnp.uint32(1) == 0, y, field.neg(y))
@@ -367,18 +410,24 @@ def _make_p2tr_ladder_kernel(tile: int):
 
         X, Y = x, y
         Z = u256.constant(1, x.shape[1:])
-        ids = jax.lax.broadcasted_iota(jnp.int32, (tile, 256), 1)
+        # digit one-hot leads with the table dim so the select is one
+        # dot_general contraction per plane -- no transposes (the flat-row
+        # version transposed (T, 16) twice per window, 64 per tile)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (256, vsub, tile), 0)
         for w in range(32):
             limb = t[w // 2]
             digit = (limb >> jnp.uint32(8 * (w % 2))) & jnp.uint32(255)
-            oh = u256.bool_to_f32(ids == digit.astype(jnp.int32)[:, None])
-            sel = jnp.dot(
-                oh, lo_ref[w], preferred_element_type=jnp.float32
-            ) + 256.0 * jnp.dot(
-                oh, hi_ref[w], preferred_element_type=jnp.float32
-            )  # (T, 32) exact: byte planes <= 255 are bf16-exact
-            tx = u256.f32_to_u32(jnp.transpose(sel[:, :16]))
-            ty = u256.f32_to_u32(jnp.transpose(sel[:, 16:]))
+            oh = u256.bool_to_f32(ids == digit.astype(jnp.int32)[None])
+            dn = (((1,), (0,)), ((), ()))
+            sel = jax.lax.dot_general(
+                lo_ref[w], oh, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            ) + 256.0 * jax.lax.dot_general(
+                hi_ref[w], oh, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )  # (32, V, T) exact: byte planes <= 255 are bf16-exact
+            tx = u256.f32_to_u32(sel[:16])
+            ty = u256.f32_to_u32(sel[16:])
             nz = digit != 0
             Xn, Yn, Zn, add_ok = curve.jacobian_add_affine_lean(
                 X, Y, Z, tx, ty
@@ -392,50 +441,63 @@ def _make_p2tr_ladder_kernel(tile: int):
         X_ref[...] = X
         Y_ref[...] = Y
         Z_ref[...] = Z
-        ok_ref[0, :] = jnp.where(ok, 1, 0)
+        ok_ref[0] = jnp.where(ok, 1, 0)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=4)
 def p2tr_ladder_fn(batch: int, tile: int = DEFAULT_TILE):
-    """Compiled VMEM-resident TapTweak ladder: (x, y (16,B), lo, hi
-    (32,256,32) f32 byte planes of the window table) -> (X, Y, Z (16,B)
-    Jacobian output key, ok (1,B))."""
-    grid = batch // tile
-    kernel = _make_p2tr_ladder_kernel(tile)
+    """Compiled VMEM-resident TapTweak ladder: (x, y (16,B), loT, hiT
+    (32,32,256) f32 byte planes of the window table, [window, limb-col,
+    digit] order) -> (X, Y, Z (16,B) Jacobian output key, ok (1,B))."""
+    vsub, tile = _tile_plan(batch, tile, max_keys=2048)
+    nv = batch // tile
+    grid = nv // vsub
+    kernel = _make_p2tr_ladder_kernel(vsub, tile)
 
-    limb = lambda: pl.BlockSpec((16, tile), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)
+    limb_in = lambda: pl.BlockSpec((16, vsub, tile), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0, 0),
                                      memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            limb(),  # x
-            limb(),  # y
-            rep((32, 256, 32)),  # lo plane
-            rep((32, 256, 32)),  # hi plane
+            limb_in(),  # x
+            limb_in(),  # y
+            rep((32, 32, 256)),  # lo plane (transposed)
+            rep((32, 32, 256)),  # hi plane (transposed)
         ],
         out_specs=[
-            pl.BlockSpec((16, tile), lambda i: (0, i),
+            pl.BlockSpec((16, vsub, tile), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, tile), lambda i: (0, i),
+            pl.BlockSpec((16, vsub, tile), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, tile), lambda i: (0, i),
+            pl.BlockSpec((16, vsub, tile), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
+            pl.BlockSpec((1, vsub, tile), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((16, batch), jnp.uint32),
-            jax.ShapeDtypeStruct((16, batch), jnp.uint32),
-            jax.ShapeDtypeStruct((16, batch), jnp.uint32),
-            jax.ShapeDtypeStruct((1, batch), jnp.int32),
+            jax.ShapeDtypeStruct((16, nv, tile), jnp.uint32),
+            jax.ShapeDtypeStruct((16, nv, tile), jnp.uint32),
+            jax.ShapeDtypeStruct((16, nv, tile), jnp.uint32),
+            jax.ShapeDtypeStruct((1, nv, tile), jnp.int32),
         ],
     )
+
+    def fn(x, y, loT, hiT):
+        X, Y, Z, ok = call(
+            x.reshape(16, nv, tile), y.reshape(16, nv, tile), loT, hiT
+        )
+        return (
+            X.reshape(16, batch), Y.reshape(16, batch),
+            Z.reshape(16, batch), ok.reshape(1, batch),
+        )
+
+    return fn
 
 
 def p2tr_output_key_pallas(x3, y3, window_table, chain_len: int = 256):
@@ -444,6 +506,7 @@ def p2tr_output_key_pallas(x3, y3, window_table, chain_len: int = 256):
     (qx (16,B) limbs, ok mask)."""
     B = x3.shape[1]
     tblf = window_table.astype(jnp.float32).reshape(32, 256, 32)
+    tblf = jnp.transpose(tblf, (0, 2, 1))  # (32, 32, 256) [w, limb, digit]
     lo = tblf % 256.0
     hi = jnp.floor(tblf / 256.0)
     X, Y, Z, ok_i = p2tr_ladder_fn(B)(x3, y3, lo, hi)
@@ -479,21 +542,18 @@ def _hash_words(fmt: AddressFormat, x3, y3):
     return words
 
 
-def _make_range_kernel(fmt: AddressFormat, tile: int):
+def _make_range_kernel(fmt: AddressFormat, vsub: int, tile: int):
     def kernel(rem_ref, lo_ref, hi_ref, bx_ref, by_ref, tx_ref, ty_ref,
                inv_ref, match_ref):
         i = pl.program_id(0)
-        bx = bx_ref[:, 0][:, None]
-        by = by_ref[:, 0][:, None]
+        bx = bx_ref[:, 0, 0][:, None, None]
+        by = by_ref[:, 0, 0][:, None, None]
         x3, y3, valid = _ec_finish(bx, by, tx_ref[...], ty_ref[...],
                                    inv_ref[...])
         words = _hash_words(fmt, x3, y3)
         matched = pipeline.in_intervals(words, lo_ref, hi_ref)
-        gidx = i * tile + jax.lax.broadcasted_iota(
-            jnp.int32, (1, tile), 1
-        )[0]
-        valid = valid & (gidx < rem_ref[0])
-        match_ref[0, :] = jnp.where(matched & valid, 1, 0)
+        valid = valid & (_tile_gidx(i, vsub, tile) < rem_ref[0])
+        match_ref[0] = jnp.where(matched & valid, 1, 0)
 
     return kernel
 
@@ -510,7 +570,7 @@ def _ec_finish_x(bx, by, tx, ty, inv_dx):
     return x3, valid
 
 
-def _make_range_glv_kernel(fmt: AddressFormat, tile: int):
+def _make_range_glv_kernel(fmt: AddressFormat, vsub: int, tile: int):
     """GLV endomorphism kernel: 6 keys {±k, ±λk, ±λ²k} per EC add.  The
     variants' points share x-coordinates {x, βx, β²x}; for hash160 formats
     the ± pair is exactly the two compressed-prefix parities, so y is never
@@ -522,8 +582,8 @@ def _make_range_glv_kernel(fmt: AddressFormat, tile: int):
     def kernel(rem_ref, lo_ref, hi_ref, bx_ref, by_ref, tx_ref, ty_ref,
                inv_ref, match_ref):
         i = pl.program_id(0)
-        bx = bx_ref[:, 0][:, None]
-        by = by_ref[:, 0][:, None]
+        bx = bx_ref[:, 0, 0][:, None, None]
+        by = by_ref[:, 0, 0][:, None, None]
         if fmt == AddressFormat.ETHEREUM:
             x3, y3, valid = _ec_finish(bx, by, tx_ref[...], ty_ref[...],
                                        inv_ref[...])
@@ -533,11 +593,8 @@ def _make_range_glv_kernel(fmt: AddressFormat, tile: int):
             y3 = None
         mask = pipeline.glv_interval_mask(fmt, x3, y3, lo_ref, hi_ref,
                                           unroll=True)
-        gidx = i * tile + jax.lax.broadcasted_iota(
-            jnp.int32, (1, tile), 1
-        )[0]
-        valid = valid & (gidx < rem_ref[0])
-        match_ref[0, :] = jnp.where(valid, mask, 0)
+        valid = valid & (_tile_gidx(i, vsub, tile) < rem_ref[0])
+        match_ref[0] = jnp.where(valid, mask, 0)
 
     return kernel
 
@@ -548,13 +605,15 @@ def fused_range_match_fn(fmt: AddressFormat, batch: int,
     """Compiled interval matcher: (remaining, lo, hi, bx, by, tx, ty,
     inv_dx) -> match (1, batch) int32 (0/1, or a 6-bit variant mask when
     glv -- any nonzero means some GLV variant of the key matched)."""
-    grid = batch // tile
+    vsub, tile = _tile_plan(batch, tile)
+    nv = batch // tile
+    grid = nv // vsub
     maker = _make_range_glv_kernel if glv else _make_range_kernel
-    kernel = maker(fmt, tile)
+    kernel = maker(fmt, vsub, tile)
 
-    limb = lambda: pl.BlockSpec((16, tile), lambda i: (0, i),
+    limb = lambda: pl.BlockSpec((16, vsub, tile), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
-    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
@@ -564,24 +623,26 @@ def fused_range_match_fn(fmt: AddressFormat, batch: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # remaining (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lo (MAX_IV, 5)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # hi (MAX_IV, 5)
-            rep((16, 1)),  # bx
-            rep((16, 1)),  # by
+            rep((16, 1, 1)),  # bx
+            rep((16, 1, 1)),  # by
             limb(),  # tx
             limb(),  # ty
             limb(),  # inv_dx
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, vsub, tile), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, batch), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, nv, tile), jnp.int32),
     )
 
     def fn(remaining, lo, hi, bx, by, tx, ty, inv_dx):
         return call(
             jnp.reshape(jnp.asarray(remaining, dtype=jnp.int32), (1,)),
             lo, hi,
-            bx.reshape(16, 1), by.reshape(16, 1),
-            tx, ty, inv_dx,
-        )
+            bx.reshape(16, 1, 1), by.reshape(16, 1, 1),
+            tx.reshape(16, nv, tile),
+            ty.reshape(16, nv, tile),
+            inv_dx.reshape(16, nv, tile),
+        ).reshape(1, batch)
 
     return fn
 
