@@ -6,8 +6,12 @@ address format on both match paths:
 - "interval": anchored-literal prefix -> hash160/account/output-key range
   compare (the VanitySearch-style fast path; GLV 6-keys-per-add for the
   formats that support it)
-- "dfa": generic regex (a character class defeats interval compilation)
-  -> full on-device encode + DFA matcher (GLV too where supported)
+- "dfa": generic regex with a selective literal prefix -- round 3's
+  hybrid pre-filter routes these down the interval fast path with
+  host-side regex filtering of survivors, so this row now measures what
+  a user actually gets for such patterns
+- "dfa-pure": a pattern whose prefix is too weak for the pre-filter
+  (leading wildcard) -> the full on-device encode + DFA matcher
 
 The reference benchmarks only batch-size sweeps of its two GPU paths
 (benches/gpu_bench.rs:24-52) and never ran Ethereum on the GPU at all;
@@ -39,23 +43,29 @@ SECS = float(os.environ.get("SECS", 6))
 B = int(os.environ.get("B", 524_288))
 B_P2TR = int(os.environ.get("B_P2TR", 131_072))
 
-# (format, interval pattern, dfa pattern, batch) -- patterns are
-# never-match, charset-valid prefixes; the dfa column adds a character
-# class so pattern/intervals.py rejects it and the DFA matcher runs.
+# (format, interval pattern, class pattern, pure-dfa pattern, batch) --
+# patterns are never-match, charset-valid prefixes.  The class pattern's
+# selective prefix triggers the hybrid interval pre-filter; the pure-dfa
+# pattern's wildcard head defeats it so the on-device DFA matcher runs.
 CASES = [
-    (AddressFormat.P2PKH, "^1CBenchNeverMatchesXx", "^1C[ab]NeverMatches", B),
+    (AddressFormat.P2PKH, "^1CBenchNeverMatchesXx", "^1C[ab]NeverMatches",
+     "^1.C.NeverMatches", B),
     (AddressFormat.P2PKH_UNCOMPRESSED, "^1UBenchNeverMatchXy",
-     "^1U[ab]NeverMatch", B),
+     "^1U[ab]NeverMatch", "^1.U.NeverMatch", B),
     (AddressFormat.P2SH_P2WPKH, "^3JBenchNeverMatchXy", "^3J[ab]NeverMatch",
-     B),
-    (AddressFormat.P2WPKH, "^bc1qzzzzzzzzzzzz", "^bc1qz[z9]zzzzzzzz", B),
-    (AddressFormat.ETHEREUM, "^0xdeadbeefcafe0123", "^0xdead[bc]eefcafe", B),
-    (AddressFormat.P2TR, "^bc1pzzzzzzzzzzzz", "^bc1pz[z9]zzzzzzzz", B_P2TR),
+     "^3.J.NeverMatch", B),
+    (AddressFormat.P2WPKH, "^bc1qzzzzzzzzzzzz", "^bc1qz[z9]zzzzzzzz",
+     "^bc1q.z.zzzzzzzz", B),
+    (AddressFormat.ETHEREUM, "^0xdeadbeefcafe0123", "^0xdead[bc]eefcafe",
+     "^0x.dead.eefcafe", B),
+    (AddressFormat.P2TR, "^bc1pzzzzzzzzzzzz", "^bc1pz[z9]zzzzzzzz",
+     "^bc1p.z.zzzzzzzz", B_P2TR),
 ]
 
 rows = []
-for fmt, iv_pat, dfa_pat, batch in CASES:
-    for kind, pat in (("interval", iv_pat), ("dfa", dfa_pat)):
+for fmt, iv_pat, dfa_pat, pure_pat, batch in CASES:
+    for kind, pat in (("interval", iv_pat), ("dfa", dfa_pat),
+                      ("dfa-pure", pure_pat)):
         t0 = time.time()
         stats = benchmark_device(
             fmt, pattern_str=pat, batch_size=batch, min_seconds=SECS,
