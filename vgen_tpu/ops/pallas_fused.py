@@ -43,27 +43,35 @@ V_SUB = 8
 
 
 def _tile_plan(batch: int, tile: int, max_keys: int = 4096):
-    """Choose the (vsub, tile) block shape for a batch.
+    """Choose the (vsub, lane_tile) block shape for a batch.
 
-    max_keys is the per-tile VMEM budget: the DFA kernels' live state
-    (symbol arrays + one-hots) overflows the 16 MB scoped VMEM at 4096
-    keys/tile, so they run at 2048.  Mosaic requires the block's
-    second-minor dim to be divisible by 8 or equal to the array dim, so
-    the budget shrinks the LANE tile (keeping vsub = 8); small batches
-    fall back to one whole-array block."""
-    tile = min(tile, batch, max(128, max_keys // V_SUB))
-    while batch % tile:
-        tile //= 2
-    nv = batch // tile
-    vsub = V_SUB if nv % V_SUB == 0 else nv
-    return vsub, tile
+    Arrays are reshaped (16, B) -> (16, vsub, B/vsub) and the grid runs
+    over the LAST dim with (16, vsub, lane_tile) blocks -- the block's
+    middle dim always equals the array's, which Mosaic accepts for any
+    vsub (its divisible-by-8 rule applies only to partial blocks).
+
+    max_keys is the per-tile VMEM budget under the 16 MB scoped limit
+    (measured OOMs, round 3): interval kernels fit 4096 keys/tile, the
+    plain DFA 2048, GLV-DFA 1024 (512 for Ethereum's 6 unrolled keccaks);
+    vsub drops below 8 only when the budget demands it."""
+    vsub = V_SUB
+    while vsub > 1 and (batch % vsub or max_keys // vsub < 128):
+        vsub //= 2
+    span = batch // vsub
+    lane = min(tile, span, max_keys // vsub)
+    while span % lane:
+        lane //= 2
+    return vsub, lane
 
 
-def _tile_gidx(i, v: int, t: int):
-    """Global key index of each (V, T) tile position for grid step i."""
+def _tile_gidx(i, v: int, t: int, span: int):
+    """Global key index of each (V, T) tile position for grid step i.
+
+    Arrays are (16, V, span) with flat key k = v*span + lane; grid step i
+    covers lanes [i*t, (i+1)*t) of every v row."""
     return (
-        i * (v * t)
-        + jax.lax.broadcasted_iota(jnp.int32, (v, t), 0) * t
+        jax.lax.broadcasted_iota(jnp.int32, (v, t), 0) * span
+        + i * t
         + jax.lax.broadcasted_iota(jnp.int32, (v, t), 1)
     )
 
@@ -141,7 +149,7 @@ def _match_tile(table_f32, accept_f32, start, syms, length):
     return acc > 0.5
 
 
-def _make_kernel(fmt: AddressFormat, vsub: int, tile: int, batch: int):
+def _make_kernel(fmt: AddressFormat, vsub: int, tile: int, span: int):
     def kernel(start_ref, rem_ref, bx_ref, by_ref, tx_ref, ty_ref, inv_ref,
                dfa_ref, acc_ref, b58_ref, match_ref):
         i = pl.program_id(0)
@@ -156,7 +164,7 @@ def _make_kernel(fmt: AddressFormat, vsub: int, tile: int, batch: int):
 
         start = start_ref[0]
         remaining = rem_ref[0]
-        valid = valid & (_tile_gidx(i, vsub, tile) < remaining)
+        valid = valid & (_tile_gidx(i, vsub, tile, span) < remaining)
 
         matched = _match_tile(
             dfa_ref[...], acc_ref[...], start, syms, length
@@ -167,7 +175,7 @@ def _make_kernel(fmt: AddressFormat, vsub: int, tile: int, batch: int):
 
 
 def _make_glv_dfa_kernel(fmt: AddressFormat, vsub: int, tile: int,
-                         batch: int):
+                         span: int):
     """GLV DFA kernel: each window position DFA-matches the addresses of
     all 6 endomorphism variants {±k, ±λk, ±λ²k} -- 6 keys per EC add for
     arbitrary regex patterns, not just interval-compilable prefixes.  The
@@ -191,7 +199,7 @@ def _make_glv_dfa_kernel(fmt: AddressFormat, vsub: int, tile: int,
             ys = (None, None)
         start = start_ref[0]
         remaining = rem_ref[0]
-        valid = valid & (_tile_gidx(i, vsub, tile) < remaining)
+        valid = valid & (_tile_gidx(i, vsub, tile, span) < remaining)
         beta = u256.constant(ec.BETA, x3.shape[1:])
         beta2 = u256.constant(ec.BETA2, x3.shape[1:])
         matched = jnp.zeros(x3.shape[1:], dtype=bool)
@@ -214,16 +222,20 @@ def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
     """Compiled fused matcher: (start, remaining, bx, by, tx, ty, inv_dx,
     dfa_f32 (S,W), accept_f32 (S,1)) -> match (1, batch) int32."""
     width = pipeline.FORMAT_DFA_WIDTH[fmt]
-    # VMEM budget: the plain DFA kernel's live state fits 2048 keys/tile;
-    # the GLV variant carries 6 hash+DFA chains and fits 1024 (measured
-    # scoped-VMEM OOMs at the next size up, round 3)
-    vsub, tile = _tile_plan(batch, tile, max_keys=1024 if glv else 2048)
-    nv = batch // tile
-    grid = nv // vsub
+    # VMEM budget (measured scoped-VMEM OOMs, round 3): plain DFA fits
+    # 2048 keys/tile, GLV-DFA 1024, Ethereum GLV-DFA (6 unrolled keccaks)
+    # 512
+    if glv:
+        max_keys = 512 if fmt == AddressFormat.ETHEREUM else 1024
+    else:
+        max_keys = 2048
+    vsub, tile = _tile_plan(batch, tile, max_keys=max_keys)
+    span = batch // vsub
+    grid = span // tile
     maker = _make_glv_dfa_kernel if glv else _make_kernel
-    kernel = maker(fmt, vsub, tile, batch)
+    kernel = maker(fmt, vsub, tile, span)
 
-    limb = lambda: pl.BlockSpec((16, vsub, tile), lambda i: (0, i, 0),
+    limb = lambda: pl.BlockSpec((16, vsub, tile), lambda i: (0, 0, i),
                                 memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
@@ -243,9 +255,9 @@ def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
             rep((n_states, 1)),  # accept f32
             rep((34, 25)),  # base58 power basis f32
         ],
-        out_specs=pl.BlockSpec((1, vsub, tile), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((1, vsub, tile), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, nv, tile), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, vsub, span), jnp.int32),
     )
 
     def fn(start, remaining, bx, by, tx, ty, inv_dx, dfa_f32, accept_f32):
@@ -256,9 +268,9 @@ def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
             jnp.reshape(jnp.asarray(remaining, dtype=jnp.int32), (1,)),
             bx.reshape(16, 1, 1),
             by.reshape(16, 1, 1),
-            tx.reshape(16, nv, tile),
-            ty.reshape(16, nv, tile),
-            inv_dx.reshape(16, nv, tile),
+            tx.reshape(16, vsub, span),
+            ty.reshape(16, vsub, span),
+            inv_dx.reshape(16, vsub, span),
             dfa_f32,
             accept_f32,
             jnp.asarray(_POW256_B58),
@@ -452,11 +464,11 @@ def p2tr_ladder_fn(batch: int, tile: int = DEFAULT_TILE):
     (32,32,256) f32 byte planes of the window table, [window, limb-col,
     digit] order) -> (X, Y, Z (16,B) Jacobian output key, ok (1,B))."""
     vsub, tile = _tile_plan(batch, tile, max_keys=2048)
-    nv = batch // tile
-    grid = nv // vsub
+    span = batch // vsub
+    grid = span // tile
     kernel = _make_p2tr_ladder_kernel(vsub, tile)
 
-    limb_in = lambda: pl.BlockSpec((16, vsub, tile), lambda i: (0, i, 0),
+    limb_in = lambda: pl.BlockSpec((16, vsub, tile), lambda i: (0, 0, i),
                                    memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0, 0),
                                      memory_space=pltpu.VMEM)
@@ -471,26 +483,26 @@ def p2tr_ladder_fn(batch: int, tile: int = DEFAULT_TILE):
             rep((32, 32, 256)),  # hi plane (transposed)
         ],
         out_specs=[
-            pl.BlockSpec((16, vsub, tile), lambda i: (0, i, 0),
+            pl.BlockSpec((16, vsub, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, vsub, tile), lambda i: (0, i, 0),
+            pl.BlockSpec((16, vsub, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, vsub, tile), lambda i: (0, i, 0),
+            pl.BlockSpec((16, vsub, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, vsub, tile), lambda i: (0, i, 0),
+            pl.BlockSpec((1, vsub, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((16, nv, tile), jnp.uint32),
-            jax.ShapeDtypeStruct((16, nv, tile), jnp.uint32),
-            jax.ShapeDtypeStruct((16, nv, tile), jnp.uint32),
-            jax.ShapeDtypeStruct((1, nv, tile), jnp.int32),
+            jax.ShapeDtypeStruct((16, vsub, span), jnp.uint32),
+            jax.ShapeDtypeStruct((16, vsub, span), jnp.uint32),
+            jax.ShapeDtypeStruct((16, vsub, span), jnp.uint32),
+            jax.ShapeDtypeStruct((1, vsub, span), jnp.int32),
         ],
     )
 
     def fn(x, y, loT, hiT):
         X, Y, Z, ok = call(
-            x.reshape(16, nv, tile), y.reshape(16, nv, tile), loT, hiT
+            x.reshape(16, vsub, span), y.reshape(16, vsub, span), loT, hiT
         )
         return (
             X.reshape(16, batch), Y.reshape(16, batch),
@@ -542,7 +554,7 @@ def _hash_words(fmt: AddressFormat, x3, y3):
     return words
 
 
-def _make_range_kernel(fmt: AddressFormat, vsub: int, tile: int):
+def _make_range_kernel(fmt: AddressFormat, vsub: int, tile: int, span: int):
     def kernel(rem_ref, lo_ref, hi_ref, bx_ref, by_ref, tx_ref, ty_ref,
                inv_ref, match_ref):
         i = pl.program_id(0)
@@ -552,7 +564,7 @@ def _make_range_kernel(fmt: AddressFormat, vsub: int, tile: int):
                                    inv_ref[...])
         words = _hash_words(fmt, x3, y3)
         matched = pipeline.in_intervals(words, lo_ref, hi_ref)
-        valid = valid & (_tile_gidx(i, vsub, tile) < rem_ref[0])
+        valid = valid & (_tile_gidx(i, vsub, tile, span) < rem_ref[0])
         match_ref[0] = jnp.where(matched & valid, 1, 0)
 
     return kernel
@@ -570,7 +582,7 @@ def _ec_finish_x(bx, by, tx, ty, inv_dx):
     return x3, valid
 
 
-def _make_range_glv_kernel(fmt: AddressFormat, vsub: int, tile: int):
+def _make_range_glv_kernel(fmt: AddressFormat, vsub: int, tile: int, span: int):
     """GLV endomorphism kernel: 6 keys {±k, ±λk, ±λ²k} per EC add.  The
     variants' points share x-coordinates {x, βx, β²x}; for hash160 formats
     the ± pair is exactly the two compressed-prefix parities, so y is never
@@ -593,7 +605,7 @@ def _make_range_glv_kernel(fmt: AddressFormat, vsub: int, tile: int):
             y3 = None
         mask = pipeline.glv_interval_mask(fmt, x3, y3, lo_ref, hi_ref,
                                           unroll=True)
-        valid = valid & (_tile_gidx(i, vsub, tile) < rem_ref[0])
+        valid = valid & (_tile_gidx(i, vsub, tile, span) < rem_ref[0])
         match_ref[0] = jnp.where(valid, mask, 0)
 
     return kernel
@@ -606,12 +618,12 @@ def fused_range_match_fn(fmt: AddressFormat, batch: int,
     inv_dx) -> match (1, batch) int32 (0/1, or a 6-bit variant mask when
     glv -- any nonzero means some GLV variant of the key matched)."""
     vsub, tile = _tile_plan(batch, tile)
-    nv = batch // tile
-    grid = nv // vsub
+    span = batch // vsub
+    grid = span // tile
     maker = _make_range_glv_kernel if glv else _make_range_kernel
-    kernel = maker(fmt, vsub, tile)
+    kernel = maker(fmt, vsub, tile, span)
 
-    limb = lambda: pl.BlockSpec((16, vsub, tile), lambda i: (0, i, 0),
+    limb = lambda: pl.BlockSpec((16, vsub, tile), lambda i: (0, 0, i),
                                 memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
@@ -629,9 +641,9 @@ def fused_range_match_fn(fmt: AddressFormat, batch: int,
             limb(),  # ty
             limb(),  # inv_dx
         ],
-        out_specs=pl.BlockSpec((1, vsub, tile), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((1, vsub, tile), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, nv, tile), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, vsub, span), jnp.int32),
     )
 
     def fn(remaining, lo, hi, bx, by, tx, ty, inv_dx):
@@ -639,9 +651,9 @@ def fused_range_match_fn(fmt: AddressFormat, batch: int,
             jnp.reshape(jnp.asarray(remaining, dtype=jnp.int32), (1,)),
             lo, hi,
             bx.reshape(16, 1, 1), by.reshape(16, 1, 1),
-            tx.reshape(16, nv, tile),
-            ty.reshape(16, nv, tile),
-            inv_dx.reshape(16, nv, tile),
+            tx.reshape(16, vsub, span),
+            ty.reshape(16, vsub, span),
+            inv_dx.reshape(16, vsub, span),
         ).reshape(1, batch)
 
     return fn
