@@ -80,7 +80,7 @@ def run_validation(batch: int = 262144, tile: int = 512,
                 jnp.full((1,), n_oracle, jnp.int32),
             )
         )[0]
-        got_small = sorted(int(i) for i in packed[2:] if i >= 0)
+        got_small = sorted(int(i) for i in packed[2:18] if i >= 0)
         # result slots cap at TOP_K=16 and keep the LARGEST indices
         expect_capped = expect_small[-16:]
         oracle_ok = got_small == expect_capped and int(packed[0]) == len(
@@ -125,7 +125,7 @@ def run_validation(batch: int = 262144, tile: int = 512,
                 jnp.full((1,), n_oracle, jnp.int32),
             )
         )[0]
-        got = sorted(int(i) for i in packed[2:] if i >= 0)
+        got = sorted(int(i) for i in packed[2:18] if i >= 0)
         extra = [
             i for i in got
             if not pat.matches(
@@ -172,17 +172,34 @@ def run_validation(batch: int = 262144, tile: int = 512,
                 jnp.full((1,), n_oracle, jnp.int32),
             )
         )[0]
-        got = sorted(int(i) for i in packed[2:] if i >= 0)
+        got = sorted(int(i) for i in packed[2:18] if i >= 0)
+        vbits = {
+            int(i): int(b) for i, b in zip(packed[2:18], packed[18:34])
+            if i >= 0
+        }
         extra = [i for i in got if i not in expect_glv]
         missing = [i for i in expect_glv[-16:] if i not in got]
+        # every variant key that matches must be derivable from the
+        # reported bitmask (the host drain derives ONLY these candidates)
+        bits_ok = all(
+            set(
+                v for v in ec.glv_variant_keys(base_oracle + 1 + i)
+                if pat.matches(gen.generate(v.to_bytes(32, "big")).address)
+            )
+            <= set(ec.glv_bit_variant_keys(
+                base_oracle + 1 + i, vbits[i],
+                parity_exact=fmt == AddressFormat.ETHEREUM,
+            ))
+            for i in got
+        )
         glv_ok = (
-            not missing and not extra
+            not missing and not extra and bits_ok
             and int(packed[0]) == len(expect_glv)
             and int(packed[1]) == 6 * n_oracle
         )
         print(f"{fmt.value}: GLV window match = {glv_ok} "
               f"(count {packed[0]} vs {len(expect_glv)}, ops {packed[1]}, "
-              f"missing={missing}, spurious={extra})")
+              f"missing={missing}, spurious={extra}, vbits_ok={bits_ok})")
         ok = ok and glv_ok
 
     # GLV on the generic DFA path: arbitrary (non-interval) regex, 6
@@ -222,11 +239,26 @@ def run_validation(batch: int = 262144, tile: int = 512,
                 jnp.full((1,), n_oracle, jnp.int32),
             )
         )[0]
-        got = sorted(int(i) for i in packed[2:] if i >= 0)
+        got = sorted(int(i) for i in packed[2:18] if i >= 0)
+        vbits = {
+            int(i): int(b) for i, b in zip(packed[2:18], packed[18:34])
+            if i >= 0
+        }
         extra = [i for i in got if i not in expect_glv]
         missing = [i for i in expect_glv[-16:] if i not in got]
+        bits_ok = all(
+            set(
+                v for v in ec.glv_variant_keys(base_oracle + 1 + i)
+                if pat.matches(gen.generate(v.to_bytes(32, "big")).address)
+            )
+            <= set(ec.glv_bit_variant_keys(
+                base_oracle + 1 + i, vbits[i],
+                parity_exact=fmt == AddressFormat.ETHEREUM,
+            ))
+            for i in got
+        )
         gdfa_ok = (
-            not missing and not extra
+            not missing and not extra and bits_ok
             and int(packed[0]) == len(expect_glv)
             and int(packed[1]) == 6 * n_oracle
         )
@@ -281,7 +313,7 @@ def run_validation(batch: int = 262144, tile: int = 512,
                 jnp.asarray(flat), jnp.asarray(accept),
                 jnp.int32(dev.start), wt,
             ))[0]
-        got = sorted(int(i) for i in packed[2:] if i >= 0)
+        got = sorted(int(i) for i in packed[2:18] if i >= 0)
         extra = [
             i for i in got
             if not pat.matches(
@@ -328,7 +360,7 @@ def run_validation(batch: int = 262144, tile: int = 512,
         )
         ref_count = int(np.asarray(ref.count))
         ref_idx = sorted(int(i) for i in np.asarray(ref.indices) if i >= 0)
-        got_idx = sorted(int(i) for i in packed[2:] if i >= 0)
+        got_idx = sorted(int(i) for i in packed[2:18] if i >= 0)
         match = (int(packed[0]) == ref_count) and (got_idx == ref_idx)
         print(f"{fmt.value}: fused count={packed[0]} xla count={ref_count} "
               f"indices_equal={got_idx == ref_idx}")

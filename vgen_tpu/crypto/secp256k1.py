@@ -44,6 +44,39 @@ def glv_variant_keys(k: int) -> List[int]:
     return out
 
 
+def glv_bit_variant_keys(k: int, bits: int,
+                         parity_exact: bool = False) -> List[int]:
+    """Candidate private keys for a device GLV variant bitmask.
+
+    Device GLV masks set bit 2v+pi when the variant with x-coordinate
+    BETA^v * x(kG) and parity index pi matched (ops/pipeline.py
+    glv_interval_mask).  For Ethereum (parity_exact=True) pi indexes
+    {+y, -y} directly, so bit 2v+pi resolves to exactly LAMBDA^v*k (pi=0)
+    or N - LAMBDA^v*k (pi=1).  For hash160 formats pi is the
+    compressed-pubkey PREFIX parity, which depends on y(kG)'s parity --
+    both signs of an active v are returned and the caller's
+    derive-and-match gate picks the real one (still 3x fewer host
+    derivations than all 6 variants when one v is active, the common
+    case).  bits <= 0 falls back to all 6 variants."""
+    if bits <= 0:
+        return glv_variant_keys(k)
+    out = []
+    for v, lam in enumerate((1, LAMBDA, LAMBDA2)):
+        vb = (bits >> (2 * v)) & 3
+        if not vb:
+            continue
+        kk = lam * k % N
+        if parity_exact:
+            if vb & 1:
+                out.append(kk)
+            if vb & 2:
+                out.append((N - kk) % N)
+        else:
+            out.append(kk)
+            out.append((N - kk) % N)
+    return out
+
+
 # Affine point: (x, y) tuple of ints, or None for the point at infinity.
 Point = Optional[Tuple[int, int]]
 

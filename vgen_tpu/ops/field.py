@@ -244,7 +244,7 @@ def inv(a):
     return normalize_weak_to_canonical(t)
 
 
-def batch_inverse_chain(values, chain_axis: int = 0):
+def batch_inverse_chain(values, chain_axis: int = 0, unroll: int = 8):
     """Montgomery batch inversion along axis `chain_axis` of a limb array.
 
     values: (16, C, *rest) with chain length C along the given batch axis
@@ -252,16 +252,23 @@ def batch_inverse_chain(values, chain_axis: int = 0):
     Returns elementwise inverses, same shape.  Zero inputs produce garbage
     in their own slot AND would poison the chain -- callers must pre-replace
     zeros (see curve.batch_normalize).
+
+    unroll: lax.scan unroll factor -- the 2*C dependent mul steps run as an
+    XLA while loop whose per-iteration overhead dominates at the narrow
+    (16, n_chains) step shapes the chip wants (measured round 3:
+    scripts/sweep_inv_chain.py); unrolling amortizes it.
     """
     assert chain_axis == 0, "chains run along the first batch axis"
     vals_t = jnp.moveaxis(values, 1, 0)  # (C, 16, *rest)
     ones = u256.constant(1, values.shape[2:])
+    unroll = min(unroll, vals_t.shape[0])
 
     def fwd(carry, v):
         nxt = mul_weak(carry, v)
         return nxt, nxt
 
-    _, prefix = jax.lax.scan(fwd, ones, vals_t)  # prefix[k] = v0*..*vk
+    # prefix[k] = v0*..*vk
+    _, prefix = jax.lax.scan(fwd, ones, vals_t, unroll=unroll)
     total_inv = inv(prefix[-1])
     prefix_excl = jnp.concatenate([ones[None], prefix[:-1]], axis=0)
 
@@ -270,7 +277,8 @@ def batch_inverse_chain(values, chain_axis: int = 0):
         inv_k = mul_weak(acc, pex)
         return mul_weak(acc, v), inv_k
 
-    _, invs = jax.lax.scan(bwd, total_inv, (vals_t, prefix_excl), reverse=True)
+    _, invs = jax.lax.scan(bwd, total_inv, (vals_t, prefix_excl),
+                           reverse=True, unroll=unroll)
     # chain intermediates stay weak; one normalize for the canonical API
     return normalize_weak_to_canonical(jnp.moveaxis(invs, 0, 1))
 

@@ -202,16 +202,18 @@ def _make_glv_dfa_kernel(fmt: AddressFormat, vsub: int, tile: int,
         valid = valid & (_tile_gidx(i, vsub, tile, span) < remaining)
         beta = u256.constant(ec.BETA, x3.shape[1:])
         beta2 = u256.constant(ec.BETA2, x3.shape[1:])
-        matched = jnp.zeros(x3.shape[1:], dtype=bool)
-        for xv in (x3, field.mul(x3, beta), field.mul(x3, beta2)):
+        bits = jnp.zeros(x3.shape[1:], dtype=jnp.int32)
+        for v, xv in enumerate(
+            (x3, field.mul(x3, beta), field.mul(x3, beta2))
+        ):
             for pi in range(2):
                 syms, length = pipeline.glv_variant_symbols(
                     fmt, xv, ys[pi], pi, b58_ref[...], unroll=True
                 )
                 m = _match_tile(dfa_ref[...], acc_ref[...], start, syms,
                                 length)
-                matched = matched | m
-        match_ref[0] = jnp.where(matched & valid, 1, 0)
+                bits = bits | jnp.where(m, jnp.int32(1 << (2 * v + pi)), 0)
+        match_ref[0] = jnp.where(valid, bits, 0)
 
     return kernel
 
@@ -281,16 +283,19 @@ def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
 
 def _pack_tail(match, remaining, batch, ops_mult: int = 1):
     """(batch,) match vector (0 = miss, nonzero = hit / GLV variant mask)
-    -> packed [count, ops, top-K indices].  ops_mult scales the reported
-    key-check count (6 for GLV steps: each position checks 6 keys)."""
+    -> packed [count, ops, top-K indices, top-K variant bitmasks].
+    ops_mult scales the reported key-check count (6 for GLV steps: each
+    position checks 6 keys).  The per-index variant bitmask lets the host
+    derive only the variants that matched instead of all 6."""
     idx = jnp.arange(batch, dtype=jnp.int32)
     matched = match > 0
     count = jnp.sum(matched.astype(jnp.int32))
     scores = jnp.where(matched, idx, jnp.int32(-1))
     top, _ = jax.lax.top_k(scores, pipeline.TOP_K)
+    vbits = jnp.where(top >= 0, match[jnp.maximum(top, 0)], 0)
     ops = jnp.minimum(jnp.maximum(remaining, jnp.int32(0)), jnp.int32(batch))
     ops = ops * jnp.int32(ops_mult)
-    return jnp.concatenate([count[None], ops[None], top])
+    return jnp.concatenate([count[None], ops[None], top, vbits])
 
 
 def _build_step(tail_one, batch: int, chain_len: int, k_sub: int):
@@ -300,8 +305,8 @@ def _build_step(tail_one, batch: int, chain_len: int, k_sub: int):
     keys, not per window), then the per-window Pallas tail.
 
     tail_one(bx (16,), by (16,), tx, ty, inv_dx, remaining, *margs) ->
-    (18,) packed.  Returns jitted step(bx (K,16), by (K,16), tx, ty,
-    remaining (K,), *margs) -> (K, 18) int32.
+    (34,) packed.  Returns jitted step(bx (K,16), by (K,16), tx, ty,
+    remaining (K,), *margs) -> (K, 34) int32.
     """
 
     def step(bx, by, tx, ty, remaining, *margs):
@@ -343,7 +348,7 @@ def fused_scan_step(fmt: AddressFormat, batch: int, n_states: int,
 
     With k_sub > 1 the step scans k_sub consecutive key windows (one base
     point each, same replicated table) in ONE dispatch, returning a packed
-    (k_sub, 18) int32 result [[count, ops, idx0..idx15], ...].  Host<->device
+    (k_sub, 34) int32 result [[count, ops, idx0..15, vbits0..15], ...].  Host<->device
     round trips through the device tunnel cost ~27 ms each, so results for
     k_sub * batch keys ship as a single transfer.
 
@@ -352,7 +357,7 @@ def fused_scan_step(fmt: AddressFormat, batch: int, n_states: int,
     reported index, exactly like the interval GLV path).
 
     (bx (K,16), by (K,16), tx, ty, dfa_f32, accept_f32, start,
-     remaining (K,)) -> (K, 18) int32
+     remaining (K,)) -> (K, 34) int32
     """
     match_fn = fused_match_fn(fmt, batch, n_states, tile, glv)
 
@@ -666,7 +671,7 @@ def fused_range_scan_step(fmt: AddressFormat, batch: int,
     """Interval-matching scan step (same shape contract as fused_scan_step):
 
     (bx (K,16), by (K,16), tx, ty, lo (8,5) u32, hi (8,5) u32,
-     remaining (K,)) -> (K, 18) int32 packed results.
+     remaining (K,)) -> (K, 34) int32 packed results.
 
     With glv=True each window position checks the 6 GLV variant keys of
     base+1+idx (ops reported 6x); the host must re-derive all variants of a

@@ -239,6 +239,8 @@ class StepResult(NamedTuple):
     count: jnp.ndarray  # () int32 -- number of matches in batch
     indices: jnp.ndarray  # (TOP_K,) int32 -- match indices, -1 padded
     ops: jnp.ndarray  # () int32 -- valid keys scanned
+    vbits: jnp.ndarray  # (TOP_K,) int32 -- per-index GLV variant bitmask
+    # (bit 2v+pi, see glv_interval_mask); 1 on non-GLV paths, 0 padded
 
 
 # DFA width (n_digits + 2) is a per-format constant; state count is padded to
@@ -336,11 +338,12 @@ def xla_tail_unroll() -> bool:
 def make_format_mask(fmt: AddressFormat, unroll: bool = False,
                      glv: bool = False):
     """Hash+encode+match mask stage: (x3, y3, valid, dfa_flat, dfa_accept,
-    start, remaining, *extras) -> (matched (B,) bool, valid (B,) bool).
+    start, remaining, *extras) -> (matchbits (B,) int32, valid (B,) bool).
 
-    ``matched`` already includes the validity/remaining mask; ``valid`` is
-    the ops-counting mask (pre-P2TR-tweak refinement, matching how the scan
-    loop reports operations)."""
+    ``matchbits`` already includes the validity/remaining mask: 0 = miss;
+    on GLV paths the 6-bit variant mask (glv_interval_mask bit layout),
+    1 otherwise.  ``valid`` is the ops-counting mask (pre-P2TR-tweak
+    refinement, matching how the scan loop reports operations)."""
     width = FORMAT_DFA_WIDTH[fmt]
 
     def mask(x3, y3, valid, dfa_flat, dfa_accept, start, remaining, *extras):
@@ -358,8 +361,10 @@ def make_format_mask(fmt: AddressFormat, unroll: bool = False,
                 (y3, field.neg(y3))
                 if fmt == AddressFormat.ETHEREUM else (None, None)
             )
-            matched = jnp.zeros(B, dtype=bool)
-            for xv in (x3, field.mul(x3, beta), field.mul(x3, beta2)):
+            bits = jnp.zeros(B, dtype=jnp.int32)
+            for v, xv in enumerate(
+                (x3, field.mul(x3, beta), field.mul(x3, beta2))
+            ):
                 for pi in range(2):
                     syms, length = glv_variant_symbols(
                         fmt, xv, ys[pi], pi, unroll=unroll
@@ -367,8 +372,10 @@ def make_format_mask(fmt: AddressFormat, unroll: bool = False,
                     m = match_symbols(
                         dfa_flat, dfa_accept, start, width, syms, length
                     )
-                    matched = matched | m.astype(bool)
-            return matched & valid, valid
+                    bits = bits | jnp.where(
+                        m.astype(bool), jnp.int32(1 << (2 * v + pi)), 0
+                    )
+            return jnp.where(valid, bits, 0), valid
 
         if fmt == AddressFormat.P2TR:
             syms, length, mvalid = symbols_p2tr(x3, y3, extras[0], valid,
@@ -391,20 +398,30 @@ def make_format_mask(fmt: AddressFormat, unroll: bool = False,
 
         matched = match_symbols(dfa_flat, dfa_accept, start, width, syms,
                                 length)
-        return matched.astype(bool) & mvalid, mvalid
+        return (
+            jnp.where(matched.astype(bool) & mvalid, jnp.int32(1), 0),
+            mvalid,
+        )
 
     return mask
 
 
-def mask_to_result(matched, valid, ops_mult: int = 1) -> "StepResult":
-    """(matched, valid) masks -> packed StepResult (count, top-K, ops)."""
-    B = matched.shape[0]
+def mask_to_result(matchbits, valid, ops_mult: int = 1) -> "StepResult":
+    """(matchbits, valid) -> packed StepResult (count, top-K, ops, vbits).
+
+    matchbits (B,) int32: 0 = miss; nonzero = match.  On GLV paths the
+    value is the 6-bit variant mask (glv_interval_mask bit layout), shipped
+    per top-K index so the host derives only the variants that actually
+    matched instead of all 6."""
+    B = matchbits.shape[0]
     idx = jnp.arange(B, dtype=jnp.int32)
+    matched = matchbits > 0
     count = jnp.sum(matched.astype(jnp.int32))
     scores = jnp.where(matched, idx, jnp.int32(-1))
     top, _ = jax.lax.top_k(scores, TOP_K)
+    vbits = jnp.where(top >= 0, matchbits[jnp.maximum(top, 0)], 0)
     ops = jnp.sum(valid.astype(jnp.int32)) * jnp.int32(ops_mult)
-    return StepResult(count=count, indices=top, ops=ops)
+    return StepResult(count=count, indices=top, ops=ops, vbits=vbits)
 
 
 def make_format_tail(fmt: AddressFormat, unroll: bool = False,
@@ -443,18 +460,23 @@ def run_scan_step(fmt, bx, by, tx, ty, dfa_flat, dfa_accept, start, remaining,
     )
 
 
+# packed per-window result row: [count, ops, idx0..15, vbits0..15]
+PACKED_WIDTH = 2 + 2 * TOP_K
+
+
 @functools.lru_cache(maxsize=4)
 def _jitted_pack():
     return jax.jit(
-        lambda count, ops, idx: jnp.concatenate(
-            [count[None], ops[None], idx]
+        lambda count, ops, idx, vbits: jnp.concatenate(
+            [count[None], ops[None], idx, vbits]
         )
     )
 
 
 def pack_result(res: StepResult):
-    """[count, ops, idx0..idx15] as one device array (single host transfer)."""
-    return _jitted_pack()(res.count, res.ops, res.indices)
+    """[count, ops, idx0..15, vbits0..15] as one device array (single host
+    transfer)."""
+    return _jitted_pack()(res.count, res.ops, res.indices, res.vbits)
 
 
 # ---------------------------------------------------------------------------
@@ -654,7 +676,8 @@ def glv_interval_mask(fmt: AddressFormat, x3, y3, lo, hi,
 def make_range_mask(fmt: AddressFormat, glv: bool = False,
                     unroll: bool = False):
     """Interval-matching mask stage: (x3, y3, valid, lo, hi, remaining,
-    *extras) -> (matched (B,) bool, valid (B,) bool)."""
+    *extras) -> (matchbits (B,) int32, valid (B,) bool).  matchbits: 0 =
+    miss; the 6-bit GLV variant mask on GLV paths, 1 otherwise."""
 
     def mask(x3, y3, valid, lo, hi, remaining, *extras):
         B = x3.shape[1]
@@ -663,11 +686,12 @@ def make_range_mask(fmt: AddressFormat, glv: bool = False,
         if glv:
             assert fmt in GLV_FORMATS, fmt
             vmask = glv_interval_mask(fmt, x3, y3, lo, hi, unroll=unroll)
-            return (vmask > 0) & valid, valid
+            return jnp.where(valid, vmask, 0), valid
         words, ok = interval_value_words(fmt, x3, y3, *extras, unroll=unroll)
         if ok is not None:
             valid = valid & ok
-        return in_intervals(words, lo, hi) & valid, valid
+        matched = in_intervals(words, lo, hi) & valid
+        return jnp.where(matched, jnp.int32(1), 0), valid
 
     return mask
 
@@ -710,12 +734,13 @@ def packed_xla_scan_step(fmt: AddressFormat, kind: str, glv: bool,
     """k_sub-window packed scan step for formats WITHOUT a fused Pallas
     kernel (P2TR's windowed TapTweak ladder lives in the XLA tail): scans
     k_sub consecutive key windows per dispatch and returns one packed
-    (k_sub, 18) result, amortizing the host<->device round trip exactly
-    like ops/pallas_fused.fused_scan_step does for the fused formats.
+    (k_sub, PACKED_WIDTH) result, amortizing the host<->device round trip
+    exactly like ops/pallas_fused.fused_scan_step does for the fused
+    formats.
 
     kind: "range" (margs = (lo, hi)) or "dfa" (margs = (dfa_flat,
     dfa_accept, start)).  Signature: step(bx (K,16), by (K,16), tx, ty,
-    remaining (K,), *margs, *extras) -> (K, 18) int32."""
+    remaining (K,), *margs, *extras) -> (K, PACKED_WIDTH) int32."""
     tail = (
         make_range_tail(fmt, glv, unroll) if kind == "range"
         else make_format_tail(fmt, unroll, glv)
@@ -732,7 +757,7 @@ def packed_xla_scan_step(fmt: AddressFormat, kind: str, glv: bool,
             )
             res = tail(x3, y3, valid, *margs, remk, *extras)
             return jnp.concatenate(
-                [res.count[None], res.ops[None], res.indices]
+                [res.count[None], res.ops[None], res.indices, res.vbits]
             )
 
         if k_sub == 1:

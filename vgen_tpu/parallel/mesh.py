@@ -84,6 +84,7 @@ def _sharded_step(fmt: AddressFormat, n_devices: int, chain_len: int,
             jax.lax.all_gather(res.count, "d"),
             jax.lax.all_gather(res.indices, "d"),
             jax.lax.all_gather(res.ops, "d"),
+            jax.lax.all_gather(res.vbits, "d"),
             total_count,
             total_ops,
         )
@@ -93,7 +94,7 @@ def _sharded_step(fmt: AddressFormat, n_devices: int, chain_len: int,
         mesh=mesh,
         in_specs=(P("d"), P("d"), P(), P(), P(), P(), P(), P("d"))
         + extra_specs,
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P()),
     )
     try:
         fn = shard_map(local_step, check_vma=False, **kwargs)
@@ -132,6 +133,7 @@ def _sharded_range_step(fmt: AddressFormat, glv: bool, n_devices: int,
             jax.lax.all_gather(res.count, "d"),
             jax.lax.all_gather(res.indices, "d"),
             jax.lax.all_gather(res.ops, "d"),
+            jax.lax.all_gather(res.vbits, "d"),
             total_count,
             total_ops,
         )
@@ -140,7 +142,7 @@ def _sharded_range_step(fmt: AddressFormat, glv: bool, n_devices: int,
     kwargs = dict(
         mesh=mesh,
         in_specs=(P("d"), P("d"), P(), P(), P(), P(), P("d")) + extra_specs,
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P()),
     )
     try:
         fn = shard_map(local_step, check_vma=False, **kwargs)
@@ -159,13 +161,13 @@ def _sharded_fused_step(fmt: AddressFormat, kind: str, n_states: int,
     """shard_map the fused Pallas scan step (ops/pallas_fused.py) over the
     mesh: each device runs the SAME single-chip hot path (XLA inversion +
     fused VMEM-resident Pallas tail) on its own k_sub key windows, and the
-    packed (k_sub, 18) results are all-gathered so every host can drain
+    packed (k_sub, 34) results are all-gathered so every host can drain
     every window.  This keeps per-chip throughput at the single-chip fused
     rate instead of downgrading multi-chip scans to the XLA word-path tails.
 
     kind: "range" (interval compare) or "dfa" (on-device DFA matcher).
     Returns jitted fn(bx (D*K, 16), by, tx, ty, <matcher args>,
-    remaining (D*K,)) -> (D, K, 18) int32 packed results."""
+    remaining (D*K,)) -> (D, K, 34) int32 packed results."""
     import jax
     from jax.sharding import PartitionSpec as P
     try:
@@ -426,21 +428,24 @@ class MeshScanner:
 
     @staticmethod
     def drain_packed(handle) -> np.ndarray:
-        """Block on a submit_super_batch handle -> (W, 18) int32 packed
-        per-window results [count, ops, idx0..idx15]."""
+        """Block on a submit_super_batch handle -> (W, 34) int32 packed
+        per-window results [count, ops, idx0..15, vbits0..15]."""
         kind, out = handle
         if kind == "fused":
-            arr = np.asarray(out)  # (D, K, 18)
+            arr = np.asarray(out)  # (D, K, 34)
             return arr.reshape(-1, arr.shape[-1])
-        counts, indices, ops, _total_count, _total_ops = out
+        counts, indices, ops, vbits, _total_count, _total_ops = out
         counts = np.asarray(counts)[:, None]
         ops = np.asarray(ops)[:, None]
         indices = np.asarray(indices)
-        return np.concatenate([counts, ops, indices], axis=1).astype(np.int64)
+        vbits = np.asarray(vbits)
+        return np.concatenate(
+            [counts, ops, indices, vbits], axis=1
+        ).astype(np.int64)
 
     def _full_window_indices(self, pattern: Pattern, base_scalar: int,
-                             remaining: int) -> List[int]:
-        """Complete match-index list for one device's window.
+                             remaining: int) -> dict:
+        """Complete {match index: variant bitmask} map for one window.
 
         Overflow recovery (count > TOP_K index slots): re-run the window
         single-device through a full-mask step and pull the whole (batch,)
@@ -482,7 +487,8 @@ class MeshScanner:
                 extras=extras, chain_len=self.chain_len,
                 glv=self.glv_active,
             )
-        return [int(i) for i in np.nonzero(np.asarray(mask))[0]]
+        m = np.asarray(mask)
+        return {int(i): int(m[i]) for i in np.nonzero(m)[0]}
 
     def run_super_batch(self, pattern: Pattern, base_scalar: int,
                         remaining_total: Optional[int] = None,
@@ -490,12 +496,14 @@ class MeshScanner:
         """submit_super_batch + block: numpy (per-window counts, indices,
         ops, total_count, total_ops).  One row per key window (n_devices
         windows on the XLA paths; n_devices * k_sub on the fused paths)."""
+        from vgen_tpu.ops import pipeline
+
         arr = self.drain_packed(self.submit_super_batch(
             pattern, base_scalar, remaining_total, allow_glv
         ))
         return (
             arr[:, 0],
-            arr[:, 2:],
+            arr[:, 2:2 + pipeline.TOP_K],
             arr[:, 1],
             int(arr[:, 0].sum()),
             int(arr[:, 1].sum()),
@@ -588,10 +596,21 @@ class MeshScanner:
             base_scalar, out = inflight.popleft()
             arr = self.drain_packed(out)  # blocks on the super-batch
             total_ops += int(arr[:, 1].sum())
+            from vgen_tpu.ops import pipeline as _pl
+
+            K_slots = _pl.TOP_K
             for j in range(arr.shape[0]):
                 base_d = base_scalar + j * self.batch
                 count = int(arr[j, 0])
-                idxs = sorted(int(i) for i in arr[j, 2:] if i >= 0)
+                pairs = {
+                    int(i): int(b)
+                    for i, b in zip(
+                        arr[j, 2:2 + K_slots],
+                        arr[j, 2 + K_slots:2 + 2 * K_slots],
+                    )
+                    if i >= 0
+                }
+                idxs = sorted(pairs)
                 if count > len(idxs) and (
                     is_range
                     or (
@@ -609,7 +628,8 @@ class MeshScanner:
                         max(0, min(self.batch, end_key - base_d))
                         if is_range else self.batch
                     )
-                    idxs = self._full_window_indices(pattern, base_d, rem_d)
+                    pairs = self._full_window_indices(pattern, base_d, rem_d)
+                    idxs = sorted(pairs)
                 # host-check the masked tx == bx doubling slot
                 # (key == 2*base_d; deterministic when base_d <= batch --
                 # see scan.scanner drain_one)
@@ -617,15 +637,19 @@ class MeshScanner:
                     not is_range or 2 * base_d <= end_key
                 ):
                     dj = base_d - 1
-                    if dj not in idxs:
-                        idxs = sorted(idxs + [dj])
+                    if dj not in pairs:
+                        pairs[dj] = 0  # bits unknown: check all variants
+                        idxs = sorted(pairs)
                     total_ops += 6 if self.glv_active else 1
+                eth = self.fmt == AddressFormat.ETHEREUM
                 for idx in idxs:
                     if len(matches) >= target:
                         break
                     key0 = base_d + 1 + idx
                     cands = (
-                        ec.glv_variant_keys(key0)
+                        ec.glv_bit_variant_keys(
+                            key0, pairs.get(idx, 0), parity_exact=eth
+                        )
                         if self.glv_active else [key0]
                     )
                     for key in cands:

@@ -194,6 +194,7 @@ class DeviceScanner:
         config: ScanConfig,
         progress_callback: Optional[ProgressCallback] = None,
         stop_flag: Optional[StopFlag] = None,
+        recover_overflow: bool = True,
     ) -> ScanResult:
         import jax
         import jax.numpy as jnp
@@ -415,7 +416,7 @@ class DeviceScanner:
             return True
 
         def full_window_indices(base_scalar, remaining):
-            """Complete match-index list for one window.
+            """Complete {match index: variant bitmask} map for one window.
 
             Overflow recovery: the packed result carries only TOP_K index
             slots; when count exceeds them the window is re-run through a
@@ -461,17 +462,26 @@ class DeviceScanner:
                         extras=self.extras, chain_len=self.chain_len,
                         glv=glv,
                     ))
-            return [int(i) for i in np.nonzero(mask)[0]]
+            return {int(i): int(mask[i]) for i in np.nonzero(mask)[0]}
 
         def drain_one():
             nonlocal total_ops
             base_scalars, packed = inflight.popleft()
             arr = np.asarray(packed)  # ONE transfer: (K, [count, ops, idx...])
+            K_slots = pipeline.TOP_K
             for k, base_scalar in enumerate(base_scalars):
                 count = int(arr[k, 0])
                 total_ops += int(arr[k, 1])
-                idxs = sorted(int(i) for i in arr[k, 2:] if i >= 0)
-                if count > len(idxs) and (
+                pairs = {
+                    int(i): int(b)
+                    for i, b in zip(
+                        arr[k, 2:2 + K_slots],
+                        arr[k, 2 + K_slots:2 + 2 * K_slots],
+                    )
+                    if i >= 0
+                }
+                idxs = sorted(pairs)
+                if count > len(idxs) and recover_overflow and (
                     is_range
                     or (
                         target != float("inf")
@@ -490,7 +500,8 @@ class DeviceScanner:
                         max(0, min(self.batch, end_key - base_scalar))
                         if is_range else self.batch
                     )
-                    idxs = full_window_indices(base_scalar, rem_k)
+                    pairs = full_window_indices(base_scalar, rem_k)
+                    idxs = sorted(pairs)
                 # the device masks the tx == bx doubling slot (key == 2*base)
                 # as invalid -- deterministic when base <= batch (tiny-range
                 # scans, e.g. low Bitcoin Puzzles), vanishing otherwise.
@@ -499,16 +510,21 @@ class DeviceScanner:
                     not is_range or 2 * base_scalar <= end_key
                 ):
                     dj = base_scalar - 1  # key0 = base+1+dj = 2*base
-                    if dj not in idxs:
-                        idxs = sorted(idxs + [dj])
+                    if dj not in pairs:
+                        pairs[dj] = 0  # bits unknown: check all variants
+                        idxs = sorted(pairs)
                     total_ops += 6 if glv else 1
                 if idxs:
+                    eth = config.format == AddressFormat.ETHEREUM
                     for idx in idxs:
                         if len(matches) >= target:
                             break
                         key0 = base_scalar + 1 + idx
                         cands = (
-                            ec.glv_variant_keys(key0) if glv else [key0]
+                            ec.glv_bit_variant_keys(
+                                key0, pairs.get(idx, 0), parity_exact=eth
+                            )
+                            if glv else [key0]
                         )
                         for key in cands:
                             if len(matches) >= target:
@@ -843,7 +859,15 @@ def benchmark_device(
     k_sub: int = 8,
     ignore_case: bool = False,
 ) -> dict:
-    """Timed device scan (compile excluded) -> keys/s metrics dict."""
+    """Timed device scan (compile excluded) -> keys/s metrics dict.
+
+    recover_overflow=False: the benchmark measures device scan throughput.
+    Its count=10**9 is a never-stop sentinel, not a real match budget --
+    with recovery on, an easy pattern like "^1C" (~2% of keys) would re-run
+    every window through the full-mask step and re-derive millions of
+    matches in host Python, measuring the host, not the chip.  Product
+    scans (cli/run_search) keep recovery on: each *requested* match must be
+    derived and output on the host anyway."""
     pat = Pattern(pattern_str, ignore_case)
     cfg = ScanConfig(format=fmt, count=10**9, device_batch_size=batch_size)
     scanner = DeviceScanner(fmt, batch_size, chain_len=chain_len, k_sub=k_sub)
@@ -857,7 +881,7 @@ def benchmark_device(
         if ops >= warmup_batches * batch_size:
             stop.set()
 
-    scanner.scan(pat, cfg, cb, stop)
+    scanner.scan(pat, cfg, cb, stop, recover_overflow=False)
 
     stop2 = StopFlag()
     t0 = time.time()
@@ -866,7 +890,7 @@ def benchmark_device(
         if time.time() - t0 >= min_seconds:
             stop2.set()
 
-    res = scanner.scan(pat, cfg, cb2, stop2)
+    res = scanner.scan(pat, cfg, cb2, stop2, recover_overflow=False)
     return {
         "keys_per_sec": res.rate(),
         "operations": res.operations,
