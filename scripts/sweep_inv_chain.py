@@ -30,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import jax.numpy as jnp
 import numpy as np
 
-from vgen_tpu.ops import field, u256
+from vgen_tpu.ops import field
 
 
 def main():
@@ -55,6 +55,9 @@ def main():
         return inv_stage
 
     for C in chains:
+        if (K * B) % C:
+            print(f"C={C:5d}  skipped (K*B={K*B} not divisible by C)")
+            continue
         f = make(C)
         r = f(dx)
         np.asarray(r.ravel()[:1])  # forced host sync (tunnel)

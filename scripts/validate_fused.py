@@ -1,17 +1,30 @@
 """On-TPU validation: fused Pallas pipeline vs XLA pipeline, bit-exact.
 
 Run directly (python scripts/validate_fused.py) on a TPU host; also invoked
-by tests/test_pallas_fused.py when the test platform is a TPU.
+by tests/test_pallas_fused.py when the test platform is a TPU, and by
+bench.py as the pre-report correctness gate.
+
+Structured as a list of independent SECTIONS so callers can run them under
+a deadline (VERDICT r3 item 1: the round-3 driver bench timed out inside
+this gate and destroyed the round's perf record -- a truncated validation
+run must still report how far it got).
 """
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_validation(batch: int = 262144, tile: int = 512,
-                   quick: bool = False) -> bool:
+def build_sections(batch: int = 262144, tile: int = 512,
+                   quick: bool = False):
+    """Return a list of (name, thunk) validation sections.
+
+    Each thunk returns True/False and prints one summary line.  quick=True
+    keeps one format per section group (bench.py's per-round gate); the
+    full matrix is the per-ops-change certification run.
+    """
     os.environ.setdefault(
         "VGEN_TPU_CACHE", os.path.expanduser("~/.cache/vgen_tpu")
     )
@@ -24,52 +37,43 @@ def run_validation(batch: int = 262144, tile: int = 512,
         os.path.join(os.environ["VGEN_TPU_CACHE"], "jaxcache"),
     )
     from vgen_tpu.crypto import secp256k1 as ec
-    from vgen_tpu.crypto.address import AddressFormat
+    from vgen_tpu.crypto.address import AddressFormat, AddressGenerator
     from vgen_tpu.ops import pallas_fused, pipeline
     from vgen_tpu.pattern import Pattern
-    from vgen_tpu.scan.tables import _ints_to_limbs, ig_table_limbs
+    from vgen_tpu.scan.tables import _ints_to_limbs, ig_table_arrays
 
-    from vgen_tpu.crypto.address import AddressGenerator
-
-    tx = jnp.asarray(ig_table_limbs(batch)[0])
-    ty = jnp.asarray(ig_table_limbs(batch)[1])
-    ok = True
+    tx, ty = ig_table_arrays(batch)
 
     # ORACLE ground truth on a small window (catches numerics bugs that
     # corrupt fused and XLA paths identically, e.g. bf16 matmul rounding)
     n_oracle = 2048
     base_oracle = 0xABCDEF012345
-    # quick=True (bench.py's per-round gate): one format per section --
-    # the full matrix runs via `python scripts/validate_fused.py` per
-    # ops-change (the device tunnel makes the full pass ~25 min)
+    base = ec.scalar_mult(base_oracle)
+    bx1 = jnp.asarray(_ints_to_limbs([base[0]]))
+    by1 = jnp.asarray(_ints_to_limbs([base[1]]))
+
     def _cases(cases):
         return cases[:1] if quick else cases
 
-    for fmt, pattern in _cases([
-        (AddressFormat.P2PKH, "^1C"),
-        (AddressFormat.P2WPKH, "^bc1qq"),
-        (AddressFormat.P2SH_P2WPKH, "^3J"),
-        (AddressFormat.ETHEREUM, "^0x1[2Ff]"),  # exercises EIP-55 casing
-    ]):
-        from vgen_tpu.pattern import Pattern as _P
+    sections = []
 
-        gen = AddressGenerator(fmt)
-        pat = _P(pattern)
-        expect_small = sorted(
+    def _expect_oracle(gen, pat):
+        return sorted(
             i
             for i in range(n_oracle)
             if pat.matches(
-                gen.generate(
-                    (base_oracle + 1 + i).to_bytes(32, "big")
-                ).address
+                gen.generate((base_oracle + 1 + i).to_bytes(32, "big")).address
             )
         )
+
+    # --- oracle DFA sections -------------------------------------------
+    def _oracle_case(fmt, pattern):
+        gen = AddressGenerator(fmt)
+        pat = Pattern(pattern)
+        expect_small = _expect_oracle(gen, pat)
         dev = pat.device_dfa(fmt)
         flat, accept = pipeline.pad_device_dfa(dev)
         S = accept.shape[0]
-        base = ec.scalar_mult(base_oracle)
-        bx1 = jnp.asarray(_ints_to_limbs([base[0]]))
-        by1 = jnp.asarray(_ints_to_limbs([base[1]]))
         step = pallas_fused.fused_scan_step(fmt, batch, S, 256, tile, 1)
         packed = np.asarray(
             step(
@@ -88,35 +92,30 @@ def run_validation(batch: int = 262144, tile: int = 512,
         )
         print(f"{fmt.value}: oracle window match = {oracle_ok} "
               f"(count {packed[0]} vs {len(expect_small)})")
-        ok = ok and oracle_ok
+        return oracle_ok
 
-    # Interval (anchored-prefix) fast path vs the same oracle window.
-    # Device hits may over-approximate by the checksum widening (< 2^-32
-    # probability), so require: oracle set ⊆ device set AND every device hit
-    # re-derives to a pattern match or falls in a compiled interval.
     for fmt, pattern in _cases([
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "^bc1qq"),
         (AddressFormat.P2SH_P2WPKH, "^3J"),
-        (AddressFormat.ETHEREUM, "^0x12"),
+        (AddressFormat.ETHEREUM, "^0x1[2Ff]"),  # exercises EIP-55 casing
     ]):
+        sections.append((
+            f"oracle-dfa:{fmt.value}",
+            lambda fmt=fmt, pattern=pattern: _oracle_case(fmt, pattern),
+        ))
+
+    # --- interval (anchored-prefix) fast path --------------------------
+    # Device hits may over-approximate by the checksum widening (< 2^-32
+    # probability), so require: oracle set subset of device set AND every
+    # device hit re-derives to a pattern match.
+    def _interval_case(fmt, pattern):
         gen = AddressGenerator(fmt)
         pat = Pattern(pattern)
         ivs = pat.match_intervals(fmt)
         assert ivs, (fmt, pattern)
-        expect_small = sorted(
-            i
-            for i in range(n_oracle)
-            if pat.matches(
-                gen.generate(
-                    (base_oracle + 1 + i).to_bytes(32, "big")
-                ).address
-            )
-        )
+        expect_small = _expect_oracle(gen, pat)
         lo_np, hi_np = pallas_fused.intervals_to_words(ivs)
-        base = ec.scalar_mult(base_oracle)
-        bx1 = jnp.asarray(_ints_to_limbs([base[0]]))
-        by1 = jnp.asarray(_ints_to_limbs([base[1]]))
         rstep = pallas_fused.fused_range_scan_step(fmt, batch, 256, tile, 1)
         packed = np.asarray(
             rstep(
@@ -137,31 +136,52 @@ def run_validation(batch: int = 262144, tile: int = 512,
         print(f"{fmt.value}: interval window match = {range_ok} "
               f"(count {packed[0]} vs {len(expect_small)}, "
               f"missing={missing}, spurious={extra})")
-        ok = ok and range_ok
+        return range_ok
 
-    # GLV interval path: a window position i hits iff ANY of the 6
-    # endomorphism variants of k_i = base+1+i matches the pattern.
     for fmt, pattern in _cases([
         (AddressFormat.P2PKH, "^1C"),
         (AddressFormat.P2WPKH, "^bc1qq"),
         (AddressFormat.P2SH_P2WPKH, "^3J"),
         (AddressFormat.ETHEREUM, "^0x12"),
     ]):
-        gen = AddressGenerator(fmt)
-        pat = Pattern(pattern)
-        ivs = pat.match_intervals(fmt)
+        sections.append((
+            f"interval:{fmt.value}",
+            lambda fmt=fmt, pattern=pattern: _interval_case(fmt, pattern),
+        ))
 
+    # --- GLV interval path ---------------------------------------------
+    # A window position i hits iff ANY of the 6 endomorphism variants of
+    # k_i = base+1+i matches the pattern.
+    def _glv_bits_ok(gen, pat, fmt, got, vbits):
+        # every variant key that matches must be derivable from the
+        # reported bitmask (the host drain derives ONLY these candidates)
+        return all(
+            set(
+                v for v in ec.glv_variant_keys(base_oracle + 1 + i)
+                if pat.matches(gen.generate(v.to_bytes(32, "big")).address)
+            )
+            <= set(ec.glv_bit_variant_keys(
+                base_oracle + 1 + i, vbits[i],
+                parity_exact=fmt == AddressFormat.ETHEREUM,
+            ))
+            for i in got
+        )
+
+    def _expect_glv(gen, pat):
         def _any_variant(i):
             return any(
                 pat.matches(gen.generate(v.to_bytes(32, "big")).address)
                 for v in ec.glv_variant_keys(base_oracle + 1 + i)
             )
 
-        expect_glv = sorted(i for i in range(n_oracle) if _any_variant(i))
+        return sorted(i for i in range(n_oracle) if _any_variant(i))
+
+    def _glv_interval_case(fmt, pattern):
+        gen = AddressGenerator(fmt)
+        pat = Pattern(pattern)
+        ivs = pat.match_intervals(fmt)
+        expect_glv = _expect_glv(gen, pat)
         lo_np, hi_np = pallas_fused.intervals_to_words(ivs)
-        base = ec.scalar_mult(base_oracle)
-        bx1 = jnp.asarray(_ints_to_limbs([base[0]]))
-        by1 = jnp.asarray(_ints_to_limbs([base[1]]))
         gstep = pallas_fused.fused_range_scan_step(
             fmt, batch, 256, tile, 1, glv=True
         )
@@ -179,19 +199,7 @@ def run_validation(batch: int = 262144, tile: int = 512,
         }
         extra = [i for i in got if i not in expect_glv]
         missing = [i for i in expect_glv[-16:] if i not in got]
-        # every variant key that matches must be derivable from the
-        # reported bitmask (the host drain derives ONLY these candidates)
-        bits_ok = all(
-            set(
-                v for v in ec.glv_variant_keys(base_oracle + 1 + i)
-                if pat.matches(gen.generate(v.to_bytes(32, "big")).address)
-            )
-            <= set(ec.glv_bit_variant_keys(
-                base_oracle + 1 + i, vbits[i],
-                parity_exact=fmt == AddressFormat.ETHEREUM,
-            ))
-            for i in got
-        )
+        bits_ok = _glv_bits_ok(gen, pat, fmt, got, vbits)
         glv_ok = (
             not missing and not extra and bits_ok
             and int(packed[0]) == len(expect_glv)
@@ -200,33 +208,29 @@ def run_validation(batch: int = 262144, tile: int = 512,
         print(f"{fmt.value}: GLV window match = {glv_ok} "
               f"(count {packed[0]} vs {len(expect_glv)}, ops {packed[1]}, "
               f"missing={missing}, spurious={extra}, vbits_ok={bits_ok})")
-        ok = ok and glv_ok
+        return glv_ok
 
-    # GLV on the generic DFA path: arbitrary (non-interval) regex, 6
-    # variants per position (suffix patterns exercise the full encode)
     for fmt, pattern in _cases([
         (AddressFormat.P2PKH, "^1C"),
-        (AddressFormat.P2WPKH, "q$"),
-        (AddressFormat.ETHEREUM, "^0x1[2Ff]"),
+        (AddressFormat.P2WPKH, "^bc1qq"),
+        (AddressFormat.P2SH_P2WPKH, "^3J"),
+        (AddressFormat.ETHEREUM, "^0x12"),
     ]):
+        sections.append((
+            f"glv-interval:{fmt.value}",
+            lambda fmt=fmt, pattern=pattern: _glv_interval_case(fmt, pattern),
+        ))
+
+    # --- GLV on the generic DFA path -----------------------------------
+    # Arbitrary (non-interval) regex, 6 variants per position (suffix
+    # patterns exercise the full encode).
+    def _glv_dfa_case(fmt, pattern):
         gen = AddressGenerator(fmt)
         pat = Pattern(pattern)
-
-        def _any_variant(i):
-            return any(
-                pat.matches(gen.generate(v.to_bytes(32, "big")).address)
-                for v in ec.glv_variant_keys(base_oracle + 1 + i)
-            )
-
-        expect_glv = sorted(i for i in range(n_oracle) if _any_variant(i))
+        expect_glv = _expect_glv(gen, pat)
         dev = pat.device_dfa(fmt)
-        from vgen_tpu.ops import pipeline as _pl
-
-        flat, accept = _pl.pad_device_dfa(dev)
+        flat, accept = pipeline.pad_device_dfa(dev)
         S = accept.shape[0]
-        base = ec.scalar_mult(base_oracle)
-        bx1 = jnp.asarray(_ints_to_limbs([base[0]]))
-        by1 = jnp.asarray(_ints_to_limbs([base[1]]))
         gstep = pallas_fused.fused_scan_step(
             fmt, batch, S, 256, tile, 1, glv=True
         )
@@ -246,17 +250,7 @@ def run_validation(batch: int = 262144, tile: int = 512,
         }
         extra = [i for i in got if i not in expect_glv]
         missing = [i for i in expect_glv[-16:] if i not in got]
-        bits_ok = all(
-            set(
-                v for v in ec.glv_variant_keys(base_oracle + 1 + i)
-                if pat.matches(gen.generate(v.to_bytes(32, "big")).address)
-            )
-            <= set(ec.glv_bit_variant_keys(
-                base_oracle + 1 + i, vbits[i],
-                parity_exact=fmt == AddressFormat.ETHEREUM,
-            ))
-            for i in got
-        )
+        bits_ok = _glv_bits_ok(gen, pat, fmt, got, vbits)
         gdfa_ok = (
             not missing and not extra and bits_ok
             and int(packed[0]) == len(expect_glv)
@@ -265,31 +259,29 @@ def run_validation(batch: int = 262144, tile: int = 512,
         print(f"{fmt.value}: GLV-DFA window match = {gdfa_ok} "
               f"(count {packed[0]} vs {len(expect_glv)}, ops {packed[1]}, "
               f"missing={missing}, spurious={extra})")
-        ok = ok and gdfa_ok
+        return gdfa_ok
 
-    # P2TR: no fused kernel (the windowed TapTweak ladder stays in XLA) --
-    # validate the packed XLA step against the oracle on both the interval
-    # and the DFA path (VERDICT r1: P2TR had no committed device evidence)
+    for fmt, pattern in _cases([
+        (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.P2WPKH, "q$"),
+        (AddressFormat.ETHEREUM, "^0x1[2Ff]"),
+    ]):
+        sections.append((
+            f"glv-dfa:{fmt.value}",
+            lambda fmt=fmt, pattern=pattern: _glv_dfa_case(fmt, pattern),
+        ))
+
+    # --- P2TR ----------------------------------------------------------
+    # Validate the fused-ladder step (and the packed XLA fallback path)
+    # against the oracle on both the interval and the DFA path.
     from vgen_tpu.scan.tables import window_table_u32
 
-    wt = jnp.asarray(window_table_u32(8))
-    for kind, pattern in _cases([("range", "^bc1pq"),
-                                 ("dfa", "^bc1p[qp]")]):
+    def _p2tr_case(kind, pattern):
         fmt = AddressFormat.P2TR
+        wt = jnp.asarray(window_table_u32(8))
         gen = AddressGenerator(fmt)
         pat = Pattern(pattern)
-        expect_small = sorted(
-            i
-            for i in range(n_oracle)
-            if pat.matches(
-                gen.generate(
-                    (base_oracle + 1 + i).to_bytes(32, "big")
-                ).address
-            )
-        )
-        base = ec.scalar_mult(base_oracle)
-        bx1 = jnp.asarray(_ints_to_limbs([base[0]]))
-        by1 = jnp.asarray(_ints_to_limbs([base[1]]))
+        expect_small = _expect_oracle(gen, pat)
         rem1 = jnp.full((1,), n_oracle, jnp.int32)
         pstep = pipeline.packed_xla_scan_step(
             fmt, kind, False, 256, 1, pipeline.xla_tail_unroll(), n_extras=1
@@ -328,13 +320,17 @@ def run_validation(batch: int = 262144, tile: int = 512,
         print(f"p2tr ({kind}): oracle window match = {p2tr_ok} "
               f"(count {packed[0]} vs {len(expect_small)}, "
               f"missing={missing}, spurious={extra})")
-        ok = ok and p2tr_ok
+        return p2tr_ok
 
-    for fmt, pattern in _cases([
-        (AddressFormat.P2PKH, "^1C"),
-        (AddressFormat.P2WPKH, "^bc1qq"),
-        (AddressFormat.P2SH_P2WPKH, "^3J"),
-    ]):
+    for kind, pattern in _cases([("range", "^bc1pq"),
+                                 ("dfa", "^bc1p[qp]")]):
+        sections.append((
+            f"p2tr:{kind}",
+            lambda kind=kind, pattern=pattern: _p2tr_case(kind, pattern),
+        ))
+
+    # --- fused vs XLA cross-check --------------------------------------
+    def _fused_vs_xla_case(fmt, pattern):
         pat = Pattern(pattern)
         dev = pat.device_dfa(fmt)
         flat, accept = pipeline.pad_device_dfa(dev)
@@ -344,17 +340,15 @@ def run_validation(batch: int = 262144, tile: int = 512,
         flatd = jnp.asarray(flat)
         accd = jnp.asarray(accept)
 
-        base = ec.scalar_mult(0xABCDEF012345)
-        bx = jnp.asarray(_ints_to_limbs([base[0]]))
-        by = jnp.asarray(_ints_to_limbs([base[1]]))
-
         step = pallas_fused.fused_scan_step(fmt, batch, S, 256, tile, 1)
         packed = np.asarray(
-            step(bx, by, tx, ty, dfa_f32, acc_f32, jnp.int32(dev.start),
+            step(bx1, by1, tx, ty, dfa_f32, acc_f32, jnp.int32(dev.start),
                  jnp.full((1,), batch, jnp.int32))
         )[0]
 
-        x3, y3, valid = pipeline.jitted_points_step(256)(bx[0], by[0], tx, ty)
+        x3, y3, valid = pipeline.jitted_points_step(256)(
+            bx1[0], by1[0], tx, ty
+        )
         ref = pipeline.jitted_format_tail(fmt)(
             x3, y3, valid, flatd, accd, jnp.int32(dev.start), jnp.int32(batch)
         )
@@ -364,9 +358,64 @@ def run_validation(batch: int = 262144, tile: int = 512,
         match = (int(packed[0]) == ref_count) and (got_idx == ref_idx)
         print(f"{fmt.value}: fused count={packed[0]} xla count={ref_count} "
               f"indices_equal={got_idx == ref_idx}")
-        ok = ok and match
-    return ok
+        return match
+
+    for fmt, pattern in _cases([
+        (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.P2WPKH, "^bc1qq"),
+        (AddressFormat.P2SH_P2WPKH, "^3J"),
+    ]):
+        sections.append((
+            f"fused-vs-xla:{fmt.value}",
+            lambda fmt=fmt, pattern=pattern: _fused_vs_xla_case(fmt, pattern),
+        ))
+
+    return sections
+
+
+def run_validation_detail(batch: int = 262144, tile: int = 512,
+                          quick: bool = False,
+                          deadline: float | None = None) -> dict:
+    """Run validation sections, optionally stopping at a wall-clock
+    deadline (time.monotonic() value).  Returns
+    {"passed": bool, "done": n, "total": m, "failed": [names]} --
+    passed means every section that RAN passed; done < total means the
+    deadline truncated the run."""
+    sections = build_sections(batch, tile, quick)
+    done = 0
+    failed = []
+    for name, thunk in sections:
+        if deadline is not None and time.monotonic() >= deadline:
+            break
+        t0 = time.monotonic()
+        try:
+            ok = bool(thunk())
+        except Exception as e:
+            print(f"{name}: CRASH {e!r}")
+            ok = False
+        done += 1
+        if not ok:
+            failed.append(name)
+        print(f"# section {name}: {time.monotonic() - t0:.1f}s "
+              f"[{done}/{len(sections)}]", file=sys.stderr)
+    return {
+        "passed": not failed,
+        "done": done,
+        "total": len(sections),
+        "failed": failed,
+    }
+
+
+def run_validation(batch: int = 262144, tile: int = 512,
+                   quick: bool = False) -> bool:
+    res = run_validation_detail(batch, tile, quick)
+    return res["passed"] and res["done"] == res["total"]
 
 
 if __name__ == "__main__":
-    print("PASS" if run_validation() else "FAIL")
+    quick = os.environ.get("VGEN_VALIDATE_QUICK", "0") == "1"
+    res = run_validation_detail(quick=quick)
+    print(f"sections: {res['done']}/{res['total']} "
+          f"failed={res['failed']}")
+    print("PASS" if res["passed"] and res["done"] == res["total"] else "FAIL")
+    sys.exit(0 if res["passed"] and res["done"] == res["total"] else 1)

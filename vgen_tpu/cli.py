@@ -561,7 +561,9 @@ def cmd_estimate(args) -> int:
         print(f"error: failed to compile pattern: {e}", file=sys.stderr)
         return 2
     difficulty = pat.estimate_difficulty(fmt)
-    rate = benchmark(fmt, 2000)
+    # 10,000-iteration calibration, matching the reference's runtime
+    # self-benchmark (scanner.rs:333, lib.rs:362)
+    rate = benchmark(fmt, 10_000)
     expected = difficulty / rate if rate > 0 else float("inf")
     print(f"Pattern: {pattern_str}")
     print(f"Format: {fmt.display_name}")

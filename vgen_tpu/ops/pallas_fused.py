@@ -53,7 +53,13 @@ def _tile_plan(batch: int, tile: int, max_keys: int = 4096):
     max_keys is the per-tile VMEM budget under the 16 MB scoped limit
     (measured OOMs, round 3): interval kernels fit 4096 keys/tile, the
     plain DFA 2048, GLV-DFA 1024 (512 for Ethereum's 6 unrolled keccaks);
-    vsub drops below 8 only when the budget demands it."""
+    vsub drops below 8 only when the budget demands it.
+
+    Fast-fails (ValueError) when no workable block exists: the lane tile
+    must be a multiple of the 128-lane VPU register width or Mosaic fails
+    at compile time deep inside a scan with an opaque layout error
+    (VERDICT r3 weak-6).  In practice any power-of-two batch >= 1024
+    works for every budget."""
     vsub = V_SUB
     while vsub > 1 and (batch % vsub or max_keys // vsub < 128):
         vsub //= 2
@@ -61,6 +67,13 @@ def _tile_plan(batch: int, tile: int, max_keys: int = 4096):
     lane = min(tile, span, max_keys // vsub)
     while span % lane:
         lane //= 2
+    if lane < 128 or lane % 128:
+        raise ValueError(
+            f"no workable Pallas tile for batch={batch} (budget "
+            f"{max_keys} keys/tile): best block is ({vsub}, {lane}) but "
+            f"the lane dim must be a multiple of 128. Use a power-of-two "
+            f"batch size >= 1024 (e.g. 524288, the default)."
+        )
     return vsub, lane
 
 
@@ -674,8 +687,10 @@ def fused_range_scan_step(fmt: AddressFormat, batch: int,
      remaining (K,)) -> (K, 34) int32 packed results.
 
     With glv=True each window position checks the 6 GLV variant keys of
-    base+1+idx (ops reported 6x); the host must re-derive all variants of a
-    reported index (crypto.secp256k1.glv_variant_keys).
+    base+1+idx (ops reported 6x).  The packed row's vbits slots carry a
+    per-index variant bitmask (bit 2v+pi, see pipeline.glv_variant_symbols);
+    the host derives only the flagged candidates via
+    crypto.secp256k1.glv_bit_variant_keys instead of all 6.
     """
     match_fn = fused_range_match_fn(fmt, batch, tile, glv)
 

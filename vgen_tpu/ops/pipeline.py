@@ -287,8 +287,13 @@ def glv_variant_symbols(fmt: AddressFormat, xv, yv, pi: int,
     compressed-pubkey parity index pi (prefix byte 2+pi); yv is the ±y
     coordinate (consulted by Ethereum only, which hashes full coords).
 
-    The exact variant↔(xv, pi) assignment is irrelevant: the host re-derives
-    ALL 6 glv_variant_keys of a reported index (scan/scanner.py drain)."""
+    The variant↔(xv, pi) assignment is LOAD-BEARING: the GLV kernels report
+    a per-index bitmask with bit 2v+pi set for variant (xv=β^v·x, parity
+    pi), and the host derives ONLY the candidates
+    crypto.secp256k1.glv_bit_variant_keys maps from those bits.  The
+    pairing is pinned by tests/test_glv_bits.py and
+    scripts/validate_fused.py (vbits_ok) -- do not reorder one side
+    without the other."""
     if fmt == AddressFormat.ETHEREUM:
         if unroll:
             acct = encode.words_to_bytes_be(

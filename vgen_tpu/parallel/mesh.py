@@ -247,9 +247,17 @@ class MeshScanner:
         )
 
         replicated = NamedSharding(self.mesh, P())
-        tx, ty = tables.ig_table_limbs(batch_size)
-        self.tx = _put_global(np.asarray(tx), replicated)
-        self.ty = _put_global(np.asarray(ty), replicated)
+        dev0 = self.mesh.devices.flat[0]
+        if dev0.platform != "cpu" and jax.process_count() == 1:
+            # build on chip, replicate device-to-device (tables.py doc:
+            # host upload through the tunnel measured ~360 s for 64 MB)
+            tx_d, ty_d = tables.ig_table_jax(batch_size, dev0)
+            self.tx = jax.device_put(tx_d, replicated)
+            self.ty = jax.device_put(ty_d, replicated)
+        else:
+            tx, ty = tables.ig_table_limbs(batch_size)
+            self.tx = _put_global(np.asarray(tx), replicated)
+            self.ty = _put_global(np.asarray(ty), replicated)
         self.extras = ()
         if fmt == AddressFormat.P2TR:
             wt = tables.window_table_u32(8)
@@ -458,11 +466,11 @@ class MeshScanner:
         from vgen_tpu.scan.tables import _ints_to_limbs
 
         if self._single_tables is None:
-            tx, ty = tables.ig_table_limbs(self.batch)
+            tx, ty = tables.ig_table_arrays(self.batch)
             extras = ()
             if self.fmt == AddressFormat.P2TR:
                 extras = (jnp.asarray(tables.window_table_u32(8)),)
-            self._single_tables = (jnp.asarray(tx), jnp.asarray(ty), extras)
+            self._single_tables = (tx, ty, extras)
         tx, ty, extras = self._single_tables
         pt = ec.scalar_mult_base_fast(base_scalar)
         bx = jnp.asarray(_ints_to_limbs([pt[0]])[0])
@@ -587,7 +595,9 @@ class MeshScanner:
             batches += 1
             nk = next_key + stride
             if not is_range and nk + 2 * stride >= ec.N:
-                nk = 2 + _secrets.randbelow(ec.N // 2)  # wrap: restart randomly
+                # wrap: restart uniformly over the FULL key space (minus
+                # headroom for the next super-batch)
+                nk = 2 + _secrets.randbelow(ec.N - 2 - 2 * stride)
             next_key = nk
             return True
 

@@ -136,9 +136,9 @@ class DeviceScanner:
         self.device = device or jax.devices()[0]
         self.k_sub = k_sub
 
-        tx, ty = tables.ig_table_limbs(batch_size)
-        self.tx = jax.device_put(jnp.asarray(tx), self.device)
-        self.ty = jax.device_put(jnp.asarray(ty), self.device)
+        # built ON DEVICE for accelerators: uploading the 64 MB host table
+        # through the device tunnel measured ~360 s (tables.py module doc)
+        self.tx, self.ty = tables.ig_table_arrays(batch_size, self.device)
         self.extras = ()
         if fmt == AddressFormat.P2TR:
             wt = tables.window_table_u32(8)
@@ -411,7 +411,11 @@ class DeviceScanner:
             inflight.append((base_scalars, packed))
             nk = next_key + self.batch * n_sub
             if not is_range and nk + self.batch * (n_sub + 1) >= ec.N:
-                nk = 2 + secrets.randbelow(ec.N // 2)  # wrap: restart randomly
+                # wrap: restart uniformly over the FULL key space (minus
+                # headroom for the next super-batch)
+                nk = 2 + secrets.randbelow(
+                    ec.N - 2 - self.batch * (n_sub + 1)
+                )
             next_key = nk
             return True
 
