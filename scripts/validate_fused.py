@@ -378,12 +378,13 @@ def run_validation_detail(batch: int = 262144, tile: int = 512,
                           deadline: float | None = None) -> dict:
     """Run validation sections, optionally stopping at a wall-clock
     deadline (time.monotonic() value).  Returns
-    {"passed": bool, "done": n, "total": m, "failed": [names]} --
-    passed means every section that RAN passed; done < total means the
-    deadline truncated the run."""
+    {"passed": bool, "done": n, "total": m, "failed": [names],
+    "sections": [{name, ok, secs}]} -- passed means every section that
+    RAN passed; done < total means the deadline truncated the run."""
     sections = build_sections(batch, tile, quick)
     done = 0
     failed = []
+    results = []
     for name, thunk in sections:
         if deadline is not None and time.monotonic() >= deadline:
             break
@@ -396,13 +397,16 @@ def run_validation_detail(batch: int = 262144, tile: int = 512,
         done += 1
         if not ok:
             failed.append(name)
-        print(f"# section {name}: {time.monotonic() - t0:.1f}s "
+        secs = time.monotonic() - t0
+        results.append({"name": name, "ok": ok, "secs": round(secs, 1)})
+        print(f"# section {name}: {secs:.1f}s "
               f"[{done}/{len(sections)}]", file=sys.stderr)
     return {
         "passed": not failed,
         "done": done,
         "total": len(sections),
         "failed": failed,
+        "sections": results,
     }
 
 
@@ -415,6 +419,17 @@ def run_validation(batch: int = 262144, tile: int = 512,
 if __name__ == "__main__":
     quick = os.environ.get("VGEN_VALIDATE_QUICK", "0") == "1"
     res = run_validation_detail(quick=quick)
+    out_path = os.environ.get("VGEN_VALIDATE_JSON")
+    if out_path:
+        import json
+
+        import jax
+
+        res_out = dict(res)
+        res_out["device"] = jax.devices()[0].device_kind
+        res_out["quick"] = quick
+        with open(out_path, "w") as f:
+            json.dump(res_out, f, indent=1)
     print(f"sections: {res['done']}/{res['total']} "
           f"failed={res['failed']}")
     print("PASS" if res["passed"] and res["done"] == res["total"] else "FAIL")
