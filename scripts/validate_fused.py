@@ -272,20 +272,21 @@ def build_sections(batch: int = 262144, tile: int = 512,
         ))
 
     # --- P2TR ----------------------------------------------------------
-    # Validate the fused-ladder step (and the packed XLA fallback path)
-    # against the oracle on both the interval and the DFA path.
+    # Validate the fully-fused P2TR steps (EC finish + TapTweak + ladder
+    # kernel, interval compare / bech32m-DFA kernel tail) against the
+    # oracle.  The packed XLA P2TR fallback is NOT validated here: its
+    # unrolled program exceeds the remote compiler's memory at production
+    # batches (round-4 measurement: SIGKILL at batch 262144 after 650 s);
+    # its loop-form tails are covered by the CPU suite.
     from vgen_tpu.scan.tables import window_table_u32
 
-    def _p2tr_case(kind, pattern):
+    def _p2tr_fused_case(kind, pattern):
         fmt = AddressFormat.P2TR
         wt = jnp.asarray(window_table_u32(8))
         gen = AddressGenerator(fmt)
         pat = Pattern(pattern)
         expect_small = _expect_oracle(gen, pat)
         rem1 = jnp.full((1,), n_oracle, jnp.int32)
-        pstep = pipeline.packed_xla_scan_step(
-            fmt, kind, False, 256, 1, pipeline.xla_tail_unroll(), n_extras=1
-        )
         if kind == "range":
             ivs = pat.match_intervals(fmt)
             assert ivs, pattern
@@ -293,17 +294,23 @@ def build_sections(batch: int = 262144, tile: int = 512,
                 ivs, pipeline.INTERVAL_WORDS[fmt],
                 n_slots=pipeline.interval_slot_count(len(ivs)),
             )
-            packed = np.asarray(pstep(
-                bx1, by1, tx, ty, rem1,
-                jnp.asarray(lo_np), jnp.asarray(hi_np), wt,
+            step = pallas_fused.fused_p2tr_range_scan_step(
+                batch, 256, tile, 1
+            )
+            packed = np.asarray(step(
+                bx1, by1, tx, ty,
+                jnp.asarray(lo_np), jnp.asarray(hi_np), rem1, wt,
             ))[0]
         else:
             dev = pat.device_dfa(fmt)
             flat, accept = pipeline.pad_device_dfa(dev)
-            packed = np.asarray(pstep(
-                bx1, by1, tx, ty, rem1,
-                jnp.asarray(flat), jnp.asarray(accept),
-                jnp.int32(dev.start), wt,
+            S = accept.shape[0]
+            step = pallas_fused.fused_p2tr_scan_step(batch, S, 256, tile, 1)
+            packed = np.asarray(step(
+                bx1, by1, tx, ty,
+                jnp.asarray(flat.reshape(S, -1).astype(np.float32)),
+                jnp.asarray(accept.astype(np.float32).reshape(S, 1)),
+                jnp.int32(dev.start), rem1, wt,
             ))[0]
         got = sorted(int(i) for i in packed[2:18] if i >= 0)
         extra = [
@@ -317,7 +324,7 @@ def build_sections(batch: int = 262144, tile: int = 512,
             not missing and not extra
             and int(packed[0]) == len(expect_small)
         )
-        print(f"p2tr ({kind}): oracle window match = {p2tr_ok} "
+        print(f"p2tr fused ({kind}): oracle window match = {p2tr_ok} "
               f"(count {packed[0]} vs {len(expect_small)}, "
               f"missing={missing}, spurious={extra})")
         return p2tr_ok
@@ -325,8 +332,10 @@ def build_sections(batch: int = 262144, tile: int = 512,
     for kind, pattern in _cases([("range", "^bc1pq"),
                                  ("dfa", "^bc1p[qp]")]):
         sections.append((
-            f"p2tr:{kind}",
-            lambda kind=kind, pattern=pattern: _p2tr_case(kind, pattern),
+            f"p2tr-fused:{kind}",
+            lambda kind=kind, pattern=pattern: _p2tr_fused_case(
+                kind, pattern
+            ),
         ))
 
     # --- fused vs XLA cross-check --------------------------------------

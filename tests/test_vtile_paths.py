@@ -88,3 +88,17 @@ def test_tagged_hash_vtile():
         mid, u256.to_bytes_be(jnp.asarray(x.reshape(16, V, T))), unroll=True
     )
     _cmp(hf, ht)
+
+
+def test_segwit_symbols_vtile():
+    # the P2TR fused DFA kernel encodes bech32m inside the kernel over
+    # (V, T) tiles (round 4); same numerics as the flat path
+    from vgen_tpu.ops import encode, u256
+
+    x = _limbs()
+    sf, lf = encode.segwit_symbols(u256.to_bytes_be(jnp.asarray(x)), 1)
+    st, lt = encode.segwit_symbols(
+        u256.to_bytes_be(jnp.asarray(x.reshape(16, V, T))), 1
+    )
+    _cmp(sf, st)
+    _cmp(lf, lt)

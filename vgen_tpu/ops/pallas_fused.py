@@ -422,14 +422,18 @@ def fused_scan_mask_step(fmt: AddressFormat, batch: int, n_states: int,
 # ---------------------------------------------------------------------------
 
 
-def _make_p2tr_ladder_kernel(vsub: int, tile: int):
+def _make_p2tr_ladder_kernel(vsub: int, tile: int, finish: bool = False):
+    """finish=False: inputs are affine points (x, y).  finish=True: inputs
+    are (bx, by, tx, ty, inv_dx) and the kernel performs the EC finish
+    itself -- the fully-fused scan path (VERDICT r3 item 5: the packed XLA
+    P2TR step's program grew past the remote compiler's memory limit at
+    batch 262144; keeping EC+tweak+ladder in one kernel both shrinks the
+    XLA program and removes its HBM streaming)."""
     from vgen_tpu.ops import sha256 as _sha
 
     mid = _sha.tagged_midstate("TapTweak")
 
-    def kernel(x_ref, y_ref, lo_ref, hi_ref, X_ref, Y_ref, Z_ref, ok_ref):
-        x = x_ref[...]  # (16, V, T)
-        y = y_ref[...]
+    def _core(x, y, lo_ref, hi_ref, X_ref, Y_ref, Z_ref, ok_ref, valid):
         # BIP341: even-Y internal key
         y = u256.select(y[0] & jnp.uint32(1) == 0, y, field.neg(y))
         xb = u256.to_bytes_be(x)
@@ -444,16 +448,36 @@ def _make_p2tr_ladder_kernel(vsub: int, tile: int):
         # dot_general contraction per plane -- no transposes (the flat-row
         # version transposed (T, 16) twice per window, 64 per tile)
         ids = jax.lax.broadcasted_iota(jnp.int32, (256, vsub, tile), 0)
-        for w in range(32):
-            limb = t[w // 2]
-            digit = (limb >> jnp.uint32(8 * (w % 2))) & jnp.uint32(255)
-            oh = u256.bool_to_f32(ids == digit.astype(jnp.int32)[None])
+        # (32, V, T) window digits, extracted up front so the ladder can
+        # run as a fori_loop: the 32-window UNROLLED kernel serialized to
+        # ~11 MB of MLIR and the remote compile helper was OOM-killed
+        # (round-4 measurement); tracing the window body ONCE keeps the
+        # program ~32x smaller.  lo/hi stay refs, indexed dynamically.
+        digits = jnp.stack([
+            ((t[w // 2] >> jnp.uint32(8 * (w % 2))) & jnp.uint32(255))
+            .astype(jnp.int32)
+            for w in range(32)
+        ])
+        widx = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
+
+        def body(w, carry):
+            # all carries are i32 vectors: i1 vector loop carries fail
+            # Mosaic's scf.for legalization
+            X, Y, Z, ok32 = carry
+            ok = ok32 > 0
+            # Mosaic has no dynamic_slice on VALUES; select the window's
+            # digit row by masked sum (32 rows, cheap) and its table
+            # planes by dynamic REF load (supported)
+            digit = jnp.sum(jnp.where(widx == w, digits, 0), axis=0)
+            lo_w = lo_ref[pl.dslice(w, 1), :, :][0]
+            hi_w = hi_ref[pl.dslice(w, 1), :, :][0]
+            oh = u256.bool_to_f32(ids == digit[None])
             dn = (((1,), (0,)), ((), ()))
             sel = jax.lax.dot_general(
-                lo_ref[w], oh, dimension_numbers=dn,
+                lo_w, oh, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
             ) + 256.0 * jax.lax.dot_general(
-                hi_ref[w], oh, dimension_numbers=dn,
+                hi_w, oh, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
             )  # (32, V, T) exact: byte planes <= 255 are bf16-exact
             tx = u256.f32_to_u32(sel[:16])
@@ -468,10 +492,32 @@ def _make_p2tr_ladder_kernel(vsub: int, tile: int):
             X = u256.select(nz, Xn, X)
             Y = u256.select(nz, Yn, Y)
             Z = u256.select(nz, Zn, Z)
+            return X, Y, Z, jnp.where(ok, 1, 0)
+
+        X, Y, Z, ok32 = jax.lax.fori_loop(
+            0, 32, body, (X, Y, Z, jnp.where(ok, 1, 0))
+        )
+        ok = ok32 > 0
+        if valid is not None:
+            ok = ok & valid
         X_ref[...] = X
         Y_ref[...] = Y
         Z_ref[...] = Z
         ok_ref[0] = jnp.where(ok, 1, 0)
+
+    if finish:
+        def kernel(bx_ref, by_ref, tx_ref, ty_ref, inv_ref,
+                   lo_ref, hi_ref, X_ref, Y_ref, Z_ref, ok_ref):
+            bx = bx_ref[:, 0, 0][:, None, None]
+            by = by_ref[:, 0, 0][:, None, None]
+            x, y, valid = _ec_finish(bx, by, tx_ref[...], ty_ref[...],
+                                     inv_ref[...])
+            _core(x, y, lo_ref, hi_ref, X_ref, Y_ref, Z_ref, ok_ref, valid)
+    else:
+        def kernel(x_ref, y_ref, lo_ref, hi_ref, X_ref, Y_ref, Z_ref,
+                   ok_ref):
+            _core(x_ref[...], y_ref[...], lo_ref, hi_ref,
+                  X_ref, Y_ref, Z_ref, ok_ref, None)
 
     return kernel
 
@@ -550,6 +596,258 @@ def p2tr_output_key_pallas(x3, y3, window_table, chain_len: int = 256):
     ).reshape(16, B)
     qx = field.mul(X, field.square(zi))
     return qx, ok
+
+
+def p2tr_planes(window_table):
+    """(32, 256, 2, 16) u32 window table -> (loT, hiT) f32 byte planes in
+    [window, limb-col, digit] order, the ladder kernels' table layout."""
+    tblf = window_table.astype(jnp.float32).reshape(32, 256, 32)
+    tblf = jnp.transpose(tblf, (0, 2, 1))
+    return tblf % 256.0, jnp.floor(tblf / 256.0)
+
+
+@functools.lru_cache(maxsize=4)
+def p2tr_ladder_finish_fn(batch: int, tile: int = DEFAULT_TILE):
+    """EC finish + TapTweak + windowed ladder in ONE kernel:
+    (bx, by (16,), tx, ty, inv_dx (16,B), loT, hiT (32,32,256)) ->
+    (X, Y, Z (16,B) Jacobian output key, ok (1,B) incl. dx-validity)."""
+    vsub, tile = _tile_plan(batch, tile, max_keys=2048)
+    span = batch // vsub
+    grid = span // tile
+    kernel = _make_p2tr_ladder_kernel(vsub, tile, finish=True)
+
+    limb_in = lambda: pl.BlockSpec((16, vsub, tile), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    limb_out = lambda n: pl.BlockSpec((n, vsub, tile), lambda i: (0, 0, i),
+                                      memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            rep((16, 1, 1)),  # bx
+            rep((16, 1, 1)),  # by
+            limb_in(),  # tx
+            limb_in(),  # ty
+            limb_in(),  # inv_dx
+            rep((32, 32, 256)),  # lo plane
+            rep((32, 32, 256)),  # hi plane
+        ],
+        out_specs=[limb_out(16), limb_out(16), limb_out(16), limb_out(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((16, vsub, span), jnp.uint32),
+            jax.ShapeDtypeStruct((16, vsub, span), jnp.uint32),
+            jax.ShapeDtypeStruct((16, vsub, span), jnp.uint32),
+            jax.ShapeDtypeStruct((1, vsub, span), jnp.int32),
+        ],
+    )
+
+    def fn(bx, by, tx, ty, inv_dx, loT, hiT):
+        X, Y, Z, ok = call(
+            bx.reshape(16, 1, 1), by.reshape(16, 1, 1),
+            tx.reshape(16, vsub, span), ty.reshape(16, vsub, span),
+            inv_dx.reshape(16, vsub, span), loT, hiT,
+        )
+        return (
+            X.reshape(16, batch), Y.reshape(16, batch),
+            Z.reshape(16, batch), ok.reshape(1, batch),
+        )
+
+    return fn
+
+
+def _make_p2tr_match_kernel(vsub: int, tile: int, span: int):
+    """Bech32m encode + DFA match over normalized output keys: (start,
+    remaining, qx, ok, dfa, accept) -> match.  Tiny next to the ladder --
+    33 shift/mask symbol extractions + the shared one-hot DFA matmul."""
+
+    def kernel(start_ref, rem_ref, qx_ref, ok_ref, dfa_ref, acc_ref,
+               match_ref):
+        i = pl.program_id(0)
+        qx = qx_ref[...]
+        okv = ok_ref[0] > 0
+        syms, length = encode.segwit_symbols(u256.to_bytes_be(qx), 1)
+        valid = okv & (_tile_gidx(i, vsub, tile, span) < rem_ref[0])
+        m = _match_tile(dfa_ref[...], acc_ref[...], start_ref[0], syms,
+                        length)
+        match_ref[0] = jnp.where(m & valid, 1, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=4)
+def p2tr_match_fn(batch: int, n_states: int, tile: int = DEFAULT_TILE):
+    """Compiled P2TR DFA matcher over normalized output keys."""
+    width = pipeline.FORMAT_DFA_WIDTH[AddressFormat.P2TR]
+    vsub, tile = _tile_plan(batch, tile, max_keys=2048)
+    span = batch // vsub
+    grid = span // tile
+    kernel = _make_p2tr_match_kernel(vsub, tile, span)
+
+    limb = lambda: pl.BlockSpec((16, vsub, tile), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # start (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # remaining (1,)
+            limb(),  # qx
+            pl.BlockSpec((1, vsub, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),  # ok
+            rep((n_states, width)),  # dfa f32
+            rep((n_states, 1)),  # accept f32
+        ],
+        out_specs=pl.BlockSpec((1, vsub, tile), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, vsub, span), jnp.int32),
+    )
+
+    def fn(start, remaining, qx, ok_i, dfa_f32, accept_f32):
+        return call(
+            jnp.reshape(jnp.asarray(start, dtype=jnp.int32), (1,)),
+            jnp.reshape(jnp.asarray(remaining, dtype=jnp.int32), (1,)),
+            qx.reshape(16, vsub, span),
+            ok_i.reshape(1, vsub, span),
+            dfa_f32,
+            accept_f32,
+        ).reshape(1, batch)
+
+    return fn
+
+
+def _p2tr_qx(ladder, bx, by, tx, ty, inv_dx, loT, hiT, batch, chain_len):
+    """Ladder kernel -> one XLA batch normalization -> (qx, ok (batch,))."""
+    X, _, Z, ok_i = ladder(bx, by, tx, ty, inv_dx, loT, hiT)
+    ok = (ok_i[0] > 0) & ~u256.is_zero(Z)
+    z_safe = u256.select(ok, Z, u256.constant(1, Z.shape[1:]))
+    C = min(chain_len, batch)
+    zi = field.batch_inverse_chain(
+        z_safe.reshape(16, C, batch // C)
+    ).reshape(16, batch)
+    qx = field.mul(X, field.square(zi))
+    return qx, ok
+
+
+@functools.lru_cache(maxsize=8)
+def fused_p2tr_range_scan_step(batch: int, chain_len: int = 256,
+                               tile: int = DEFAULT_TILE, k_sub: int = 1):
+    """Fully-fused P2TR interval scan step: XLA inversion -> Pallas
+    [EC finish + TapTweak + ladder] -> XLA Z-normalization + 8-word range
+    compare of the output key.  (bx (K,16), by (K,16), tx, ty,
+    lo/hi (slots,8) u32, remaining (K,), window_table) -> (K,34) int32.
+
+    No GLV: the TapTweak rebinds the key, so endomorphism variants do not
+    share output keys (pipeline.GLV_FORMATS excludes P2TR)."""
+    ladder = p2tr_ladder_finish_fn(batch, tile)
+
+    def _tail_one(bx, by, tx, ty, inv_dx, remaining, lo, hi, loT, hiT):
+        qx, ok = _p2tr_qx(ladder, bx, by, tx, ty, inv_dx, loT, hiT,
+                          batch, chain_len)
+        words = pipeline.bytes_be_words(u256.to_bytes_be(qx))
+        idx = jnp.arange(batch, dtype=jnp.int32)
+        matched = pipeline.in_intervals(words, lo, hi) & ok & (
+            idx < remaining
+        )
+        return _pack_tail(jnp.where(matched, 1, 0), remaining, batch)
+
+    built = _build_step(_tail_one, batch, chain_len, k_sub)
+
+    def step(bx, by, tx, ty, lo, hi, remaining, window_table):
+        loT, hiT = p2tr_planes(window_table)
+        return built(bx, by, tx, ty, remaining, lo, hi, loT, hiT)
+
+    return step
+
+
+@functools.lru_cache(maxsize=8)
+def fused_p2tr_scan_step(batch: int, n_states: int, chain_len: int = 256,
+                         tile: int = DEFAULT_TILE, k_sub: int = 1):
+    """Fully-fused P2TR DFA scan step: ladder kernel + XLA normalization +
+    Pallas bech32m-encode/DFA kernel.  (bx (K,16), by (K,16), tx, ty,
+    dfa_f32, accept_f32, start, remaining (K,), window_table) ->
+    (K, 34) int32."""
+    ladder = p2tr_ladder_finish_fn(batch, tile)
+    match_fn = p2tr_match_fn(batch, n_states, tile)
+
+    def _tail_one(bx, by, tx, ty, inv_dx, remaining, dfa_f32, accept_f32,
+                  start, loT, hiT):
+        qx, ok = _p2tr_qx(ladder, bx, by, tx, ty, inv_dx, loT, hiT,
+                          batch, chain_len)
+        match = match_fn(
+            start, remaining, qx, jnp.where(ok, 1, 0)[None], dfa_f32,
+            accept_f32,
+        )[0]
+        return _pack_tail(match, remaining, batch)
+
+    built = _build_step(_tail_one, batch, chain_len, k_sub)
+
+    def step(bx, by, tx, ty, dfa_f32, accept_f32, start, remaining,
+             window_table):
+        loT, hiT = p2tr_planes(window_table)
+        return built(bx, by, tx, ty, remaining, dfa_f32, accept_f32, start,
+                     loT, hiT)
+
+    return step
+
+
+@functools.lru_cache(maxsize=8)
+def fused_p2tr_range_mask_step(batch: int, chain_len: int = 256,
+                               tile: int = DEFAULT_TILE):
+    """Full-mask variant of fused_p2tr_range_scan_step (overflow
+    recovery): -> (1, batch) int32 match mask."""
+    ladder = p2tr_ladder_finish_fn(batch, tile)
+
+    def _tail_one(bx, by, tx, ty, inv_dx, remaining, lo, hi, loT, hiT):
+        qx, ok = _p2tr_qx(ladder, bx, by, tx, ty, inv_dx, loT, hiT,
+                          batch, chain_len)
+        words = pipeline.bytes_be_words(u256.to_bytes_be(qx))
+        idx = jnp.arange(batch, dtype=jnp.int32)
+        matched = pipeline.in_intervals(words, lo, hi) & ok & (
+            idx < remaining
+        )
+        return jnp.where(matched, 1, 0)
+
+    built = _build_step(_tail_one, batch, chain_len, k_sub=1)
+
+    def step(bx, by, tx, ty, lo, hi, remaining, window_table):
+        loT, hiT = p2tr_planes(window_table)
+        return built(bx, by, tx, ty, remaining, lo, hi, loT, hiT)
+
+    return step
+
+
+@functools.lru_cache(maxsize=8)
+def fused_p2tr_scan_mask_step(batch: int, n_states: int,
+                              chain_len: int = 256,
+                              tile: int = DEFAULT_TILE):
+    """Full-mask variant of fused_p2tr_scan_step (overflow recovery)."""
+    ladder = p2tr_ladder_finish_fn(batch, tile)
+    match_fn = p2tr_match_fn(batch, n_states, tile)
+
+    def _tail_one(bx, by, tx, ty, inv_dx, remaining, dfa_f32, accept_f32,
+                  start, loT, hiT):
+        qx, ok = _p2tr_qx(ladder, bx, by, tx, ty, inv_dx, loT, hiT,
+                          batch, chain_len)
+        return match_fn(
+            start, remaining, qx, jnp.where(ok, 1, 0)[None], dfa_f32,
+            accept_f32,
+        )[0]
+
+    built = _build_step(_tail_one, batch, chain_len, k_sub=1)
+
+    def step(bx, by, tx, ty, dfa_f32, accept_f32, start, remaining,
+             window_table):
+        loT, hiT = p2tr_planes(window_table)
+        return built(bx, by, tx, ty, remaining, dfa_f32, accept_f32, start,
+                     loT, hiT)
+
+    return step
 
 
 # ---------------------------------------------------------------------------

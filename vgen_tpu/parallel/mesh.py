@@ -178,26 +178,53 @@ def _sharded_fused_step(fmt: AddressFormat, kind: str, n_states: int,
     from vgen_tpu.ops import pallas_fused
 
     mesh = _MESHES[mesh_key]
+    p2tr = fmt == AddressFormat.P2TR
     if kind == "range":
-        step = pallas_fused.fused_range_scan_step(
-            fmt, batch, chain_len, k_sub=k_sub, glv=glv
-        )
+        if p2tr:
+            step = pallas_fused.fused_p2tr_range_scan_step(
+                batch, chain_len, k_sub=k_sub
+            )
 
-        def local(bx, by, tx, ty, lo, hi, remaining):
-            packed = step(bx, by, tx, ty, lo, hi, remaining)
-            return jax.lax.all_gather(packed, "d")
+            def local(bx, by, tx, ty, lo, hi, remaining, wt):
+                packed = step(bx, by, tx, ty, lo, hi, remaining, wt)
+                return jax.lax.all_gather(packed, "d")
 
-        in_specs = (P("d"), P("d"), P(), P(), P(), P(), P("d"))
+            in_specs = (P("d"), P("d"), P(), P(), P(), P(), P("d"), P())
+        else:
+            step = pallas_fused.fused_range_scan_step(
+                fmt, batch, chain_len, k_sub=k_sub, glv=glv
+            )
+
+            def local(bx, by, tx, ty, lo, hi, remaining):
+                packed = step(bx, by, tx, ty, lo, hi, remaining)
+                return jax.lax.all_gather(packed, "d")
+
+            in_specs = (P("d"), P("d"), P(), P(), P(), P(), P("d"))
     else:
-        step = pallas_fused.fused_scan_step(
-            fmt, batch, n_states, chain_len, k_sub=k_sub, glv=glv
-        )
+        if p2tr:
+            step = pallas_fused.fused_p2tr_scan_step(
+                batch, n_states, chain_len, k_sub=k_sub
+            )
 
-        def local(bx, by, tx, ty, dfa_f32, acc_f32, start, remaining):
-            packed = step(bx, by, tx, ty, dfa_f32, acc_f32, start, remaining)
-            return jax.lax.all_gather(packed, "d")
+            def local(bx, by, tx, ty, dfa_f32, acc_f32, start, remaining,
+                      wt):
+                packed = step(bx, by, tx, ty, dfa_f32, acc_f32, start,
+                              remaining, wt)
+                return jax.lax.all_gather(packed, "d")
 
-        in_specs = (P("d"), P("d"), P(), P(), P(), P(), P(), P("d"))
+            in_specs = (P("d"), P("d"), P(), P(), P(), P(), P(), P("d"),
+                        P())
+        else:
+            step = pallas_fused.fused_scan_step(
+                fmt, batch, n_states, chain_len, k_sub=k_sub, glv=glv
+            )
+
+            def local(bx, by, tx, ty, dfa_f32, acc_f32, start, remaining):
+                packed = step(bx, by, tx, ty, dfa_f32, acc_f32, start,
+                              remaining)
+                return jax.lax.all_gather(packed, "d")
+
+            in_specs = (P("d"), P("d"), P(), P(), P(), P(), P(), P("d"))
 
     kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=P())
     try:
@@ -316,9 +343,13 @@ class MeshScanner:
         if self._fused_capable:
             from vgen_tpu.ops import pallas_fused
 
-            if ivs is not None and self.fmt in pallas_fused.RANGE_FORMATS:
+            fused_fmt = (
+                self.fmt in pallas_fused.FUSED_FORMATS
+                or self.fmt == AddressFormat.P2TR  # round-4 fused ladder
+            )
+            if ivs is not None and fused_fmt:
                 return "frange", glv, self.k_sub
-            if ivs is None and self.fmt in pallas_fused.FUSED_FORMATS:
+            if ivs is None and fused_fmt:
                 dev_dfa = pattern.device_dfa(self.fmt)
                 _, accept = pipeline.pad_device_dfa(dev_dfa)
                 if accept.shape[0] <= 256:
@@ -370,10 +401,12 @@ class MeshScanner:
             # fused Pallas hot path, k_sub windows per device per dispatch;
             # step expects per-device (K, 16) bases / (K,) remaining
             rem_dev = _put_global(rem_np, self._sharding_d)
+            # self.extras is () except P2TR (replicated window table)
             if kind == "frange":
                 ivs = self._plan_intervals(pattern, allow_glv)
                 lo, hi = pipeline.intervals_to_words(
-                    ivs, n_slots=pipeline.interval_slot_count(len(ivs))
+                    ivs, pipeline.INTERVAL_WORDS[self.fmt],
+                    n_slots=pipeline.interval_slot_count(len(ivs)),
                 )
                 step = _sharded_fused_step(
                     self.fmt, "range", 0, self.batch, self.chain_len,
@@ -382,6 +415,7 @@ class MeshScanner:
                 packed = step(
                     bx, by, self.tx, self.ty,
                     jnp.asarray(lo), jnp.asarray(hi), rem_dev,
+                    *self.extras,
                 )
             else:
                 dev_dfa = pattern.device_dfa(self.fmt)
@@ -395,7 +429,7 @@ class MeshScanner:
                     bx, by, self.tx, self.ty,
                     jnp.asarray(flat.reshape(S, -1).astype(np.float32)),
                     jnp.asarray(accept.astype(np.float32).reshape(S, 1)),
-                    jnp.int32(dev_dfa.start), rem_dev,
+                    jnp.int32(dev_dfa.start), rem_dev, *self.extras,
                 )
             return ("fused", packed)
 

@@ -261,6 +261,37 @@ class DeviceScanner:
                         accept.astype(np.float32).reshape(S, 1)
                     )
                     fused_kind = "dfa"
+            elif config.format == AddressFormat.P2TR:
+                # Fully-fused P2TR (round 4): EC finish + TapTweak + ladder
+                # in one kernel, bech32m/interval tail on the normalized
+                # output key.  The packed XLA P2TR step's program exceeded
+                # the remote compiler's memory at batch 262144 (and its
+                # HBM-streamed tail was the round-2 0.68 Mkeys/s).  No GLV:
+                # the tweak rebinds the key, variants share nothing.
+                ivs = self._plan_intervals(pattern, config)
+                if ivs is not None:
+                    lo_np, hi_np = pipeline.intervals_to_words(
+                        ivs, pipeline.INTERVAL_WORDS[config.format],
+                        n_slots=pipeline.interval_slot_count(len(ivs)),
+                    )
+                    lo_w = jnp.asarray(lo_np)
+                    hi_w = jnp.asarray(hi_np)
+                    fused_step = pallas_fused.fused_p2tr_range_scan_step(
+                        self.batch, self.chain_len, k_sub=k_sub,
+                    )
+                    fused_kind = "range"
+                elif accept.shape[0] <= 256:
+                    S = accept.shape[0]
+                    fused_step = pallas_fused.fused_p2tr_scan_step(
+                        self.batch, S, self.chain_len, k_sub=k_sub,
+                    )
+                    dfa_f32 = jnp.asarray(
+                        flat.reshape(S, -1).astype(np.float32)
+                    )
+                    acc_f32 = jnp.asarray(
+                        accept.astype(np.float32).reshape(S, 1)
+                    )
+                    fused_kind = "dfa"
 
         # XLA interval path: the same anchored-prefix specialization (and
         # GLV expansion) without Mosaic -- CPU fallback, and formats with no
@@ -364,14 +395,17 @@ class DeviceScanner:
                 bx = jnp.asarray(_ints_to_limbs([p[0] for p in pts]))
                 by = jnp.asarray(_ints_to_limbs([p[1] for p in pts]))
                 rem = jnp.asarray(remainings, dtype=jnp.int32)
+                # self.extras is () except P2TR, whose fused steps take
+                # the window table as their trailing argument
                 if fused_step is not None and fused_kind == "range":
                     packed = fused_step(
-                        bx, by, self.tx, self.ty, lo_w, hi_w, rem
+                        bx, by, self.tx, self.ty, lo_w, hi_w, rem,
+                        *self.extras,
                     )
                 elif fused_step is not None:
                     packed = fused_step(
                         bx, by, self.tx, self.ty, dfa_f32, acc_f32,
-                        jnp.int32(dev_dfa.start), rem,
+                        jnp.int32(dev_dfa.start), rem, *self.extras,
                     )
                 elif xla_range:
                     packed = xla_packed(
@@ -436,19 +470,34 @@ class DeviceScanner:
                 bx = jnp.asarray(_ints_to_limbs([pt[0]]))
                 by = jnp.asarray(_ints_to_limbs([pt[1]]))
                 rem = jnp.asarray([remaining], dtype=jnp.int32)
+                p2tr = config.format == AddressFormat.P2TR
                 if fused_kind == "range":
-                    mstep = pallas_fused.fused_range_mask_step(
-                        config.format, self.batch, self.chain_len, glv=glv
+                    mstep = (
+                        pallas_fused.fused_p2tr_range_mask_step(
+                            self.batch, self.chain_len
+                        )
+                        if p2tr
+                        else pallas_fused.fused_range_mask_step(
+                            config.format, self.batch, self.chain_len,
+                            glv=glv,
+                        )
                     )
-                    mask = mstep(bx, by, self.tx, self.ty, lo_w, hi_w, rem)
+                    mask = mstep(bx, by, self.tx, self.ty, lo_w, hi_w, rem,
+                                 *self.extras)
                 else:
-                    mstep = pallas_fused.fused_scan_mask_step(
-                        config.format, self.batch, dfa_f32.shape[0],
-                        self.chain_len, glv=glv,
+                    mstep = (
+                        pallas_fused.fused_p2tr_scan_mask_step(
+                            self.batch, dfa_f32.shape[0], self.chain_len
+                        )
+                        if p2tr
+                        else pallas_fused.fused_scan_mask_step(
+                            config.format, self.batch, dfa_f32.shape[0],
+                            self.chain_len, glv=glv,
+                        )
                     )
                     mask = mstep(
                         bx, by, self.tx, self.ty, dfa_f32, acc_f32,
-                        jnp.int32(dev_dfa.start), rem,
+                        jnp.int32(dev_dfa.start), rem, *self.extras,
                     )
                 mask = np.asarray(mask)[0]
             else:
