@@ -41,7 +41,8 @@ from vgen_tpu.scan.scanner import CHAIN_LEN, benchmark_device
 
 SECS = float(os.environ.get("SECS", 6))
 B = int(os.environ.get("B", 524_288))
-B_P2TR = int(os.environ.get("B_P2TR", 131_072))
+# round 4: the fused P2TR ladder handles the full default batch
+B_P2TR = int(os.environ.get("B_P2TR", 524_288))
 
 # (format, interval pattern, class pattern, pure-dfa pattern, batch) --
 # patterns are never-match, charset-valid prefixes.  The class pattern's
