@@ -80,21 +80,40 @@ def main():
     t_step = bench("full step", step, bx, by, tx, ty, lo_j, hi_j, rem,
                    keys=6 * K * B)
 
-    # 2. inversion stage alone (same shapes as _build_step)
+    # 2a. dx materialization + zero-guard alone
     @jax.jit
-    def inv_stage(bx, tx):
+    def dx_stage(bx, tx):
         bxl = jnp.transpose(bx)
         dx = field.sub(tx[:, None, :], bxl[:, :, None])
         dx_flat = dx.reshape(16, K * B)
-        dx_safe = u256.select(
+        return u256.select(
             ~u256.is_zero(dx_flat), dx_flat, u256.constant(1, (K * B,))
         )
-        C = min(CHAIN, K * B)
-        return field.batch_inverse_chain(
-            dx_safe.reshape(16, C, K * B // C)
-        ).reshape(16, K * B)
 
-    t_inv = bench("inversion stage", inv_stage, bx, tx, keys=6 * K * B)
+    t_dx = bench("dx+select", dx_stage, bx, tx, keys=6 * K * B)
+
+    # 2b. the Pallas inversion chain alone (round 4; the XLA chain it
+    # replaced measured 57.7 ms at these shapes)
+    dx_built = dx_stage(bx, tx)
+    chain_fn = jax.jit(pallas_fused.batch_inverse_chain_pallas)
+    t_chain = bench("pallas inv chain", chain_fn, dx_built, keys=6 * K * B)
+
+    # 2c. result pack (top_k) alone, K windows
+    inv_flat = chain_fn(dx_built)
+
+    @jax.jit
+    def pack_stage(m):
+        outs = []
+        for k in range(K):
+            outs.append(pallas_fused._pack_tail(
+                m[k * B:(k + 1) * B], jnp.int32(B), B, ops_mult=6
+            ))
+        return jnp.stack(outs)
+
+    match_vec = (dx_built[0] & jnp.uint32(1)).astype(jnp.int32)
+    t_pack = bench("pack/top_k (K)", pack_stage, match_vec, keys=6 * K * B)
+
+    t_inv = t_dx + t_chain
 
     # 3. kernel alone (K sequential windows, precomputed inverse);
     # ty doubles as a stand-in inverse (any nonzero limb pattern works)
@@ -111,9 +130,10 @@ def main():
     t_kern = bench("pallas kernels (K)", kernels_only, bx, by, tx, ty, inv1,
                    lo_j, hi_j, keys=6 * K * B)
 
-    print(f"\ninversion/step = {t_inv/t_step:.0%}  "
-          f"kernels/step = {t_kern/t_step:.0%}  "
-          f"other = {(t_step-t_inv-t_kern)/t_step:.0%}")
+    print(f"\ndx/step = {t_dx/t_step:.0%}  chain/step = {t_chain/t_step:.0%}"
+          f"  kernels/step = {t_kern/t_step:.0%}  "
+          f"pack/step = {t_pack/t_step:.0%}  other = "
+          f"{(t_step-t_inv-t_kern-t_pack)/t_step:.0%}")
 
 
 if __name__ == "__main__":

@@ -311,6 +311,120 @@ def _pack_tail(match, remaining, batch, ops_mult: int = 1):
     return jnp.concatenate([count[None], ops[None], top, vbits])
 
 
+# ---------------------------------------------------------------------------
+# Pallas Montgomery inversion: the XLA chain was 59% of the whole scan step
+# (round-4 step-split profile: 57.7 ms of a 97 ms step at K=8, B=512K).
+# Its cost is per-STEP overhead, not compute: the fwd/bwd lax.scans and the
+# Fermat ladder's fori_loops each pay ~100 us of XLA while-loop overhead at
+# the narrow (16, 4096) shapes the chain wants.  These kernels run the same
+# algorithm with the sequential chain as the Pallas GRID (hardware loop,
+# ~us per step) over V-tiled (16, 8, 512) blocks, with the running
+# product/accumulator carried in VMEM scratch across grid steps.
+# ---------------------------------------------------------------------------
+
+_INV_VSUB = 8
+_INV_LANES = 512
+_INV_W = _INV_VSUB * _INV_LANES
+
+
+def _u256_one(shape):
+    limb = jax.lax.broadcasted_iota(jnp.int32, (16,) + shape, 0)
+    return jnp.where(limb == 0, jnp.uint32(1), jnp.uint32(0))
+
+
+@functools.lru_cache(maxsize=8)
+def _inv_chain_calls(C: int):
+    vsub, lanes = _INV_VSUB, _INV_LANES
+
+    def fwd_kernel(v_ref, pex_ref, tot_ref, run_ref):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            run_ref[...] = _u256_one((vsub, lanes))
+
+        run = run_ref[...]
+        v = v_ref[:, 0]
+        pex_ref[:, 0] = run  # prefix EXCLUSIVE: v0..v(c-1)
+        nxt = field.mul_weak(run, v)
+        run_ref[...] = nxt
+
+        @pl.when(c == C - 1)
+        def _():
+            tot_ref[...] = nxt
+
+    def inv_kernel(tot_ref, out_ref):
+        out_ref[...] = field.inv(tot_ref[...])
+
+    def bwd_kernel(v_ref, pex_ref, tinv_ref, out_ref, acc_ref):
+        i = pl.program_id(0)  # chain index c = C-1-i via the index maps
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[...] = tinv_ref[...]
+
+        acc = acc_ref[...]
+        v = v_ref[:, 0]
+        pex = pex_ref[:, 0]
+        out_ref[:, 0] = field.normalize_weak_to_canonical(
+            field.mul_weak(acc, pex)
+        )
+        acc_ref[...] = field.mul_weak(acc, v)
+
+    chain_blk = lambda im: pl.BlockSpec((16, 1, vsub, lanes), im,
+                                        memory_space=pltpu.VMEM)
+    whole = pl.BlockSpec((16, vsub, lanes), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    arr4 = jax.ShapeDtypeStruct((16, C, vsub, lanes), jnp.uint32)
+    arr3 = jax.ShapeDtypeStruct((16, vsub, lanes), jnp.uint32)
+    scratch = [pltpu.VMEM((16, vsub, lanes), jnp.uint32)]
+
+    fwd = pl.pallas_call(
+        fwd_kernel,
+        grid=C,
+        in_specs=[chain_blk(lambda c: (0, c, 0, 0))],
+        out_specs=[chain_blk(lambda c: (0, c, 0, 0)), whole],
+        out_shape=[arr4, arr3],
+        scratch_shapes=scratch,
+    )
+    invc = pl.pallas_call(
+        inv_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=arr3,
+    )
+    rev = lambda c: (0, C - 1 - c, 0, 0)
+    bwd = pl.pallas_call(
+        bwd_kernel,
+        grid=C,
+        in_specs=[chain_blk(rev), chain_blk(rev), whole],
+        out_specs=chain_blk(rev),
+        out_shape=arr4,
+        scratch_shapes=scratch,
+    )
+    return fwd, invc, bwd
+
+
+def batch_inverse_chain_pallas(values):
+    """Drop-in replacement for field.batch_inverse_chain on flat (16, N)
+    arrays (zero-free, weak-tolerant, canonical output).  Chains run over
+    N/4096 grid steps of V-tiled (16, 8, 512) blocks; falls back to the
+    XLA chain when N does not tile."""
+    N = values.shape[1]
+    if N % _INV_W or N < 2 * _INV_W:
+        C = min(256, N)
+        while N % C:
+            C //= 2
+        return field.batch_inverse_chain(
+            values.reshape(16, C, N // C)
+        ).reshape(16, N)
+    C = N // _INV_W
+    fwd, invc, bwd = _inv_chain_calls(C)
+    v4 = values.reshape(16, C, _INV_VSUB, _INV_LANES)
+    pex, tot = fwd(v4)
+    tinv = invc(tot)
+    return bwd(v4, pex, tinv).reshape(16, N)
+
+
 def _build_step(tail_one, batch: int, chain_len: int, k_sub: int):
     """Shared step scaffold: ONE Montgomery inversion spanning all k_sub
     windows (each sequential XLA loop step costs ~100us of dispatch
@@ -331,10 +445,7 @@ def _build_step(tail_one, batch: int, chain_len: int, k_sub: int):
             ~u256.is_zero(dx_flat), dx_flat,
             u256.constant(1, dx_flat.shape[1:])
         )
-        C = min(chain_len, K * batch)
-        inv_flat = field.batch_inverse_chain(
-            dx_safe.reshape(16, C, K * batch // C)
-        ).reshape(16, K * batch)
+        inv_flat = batch_inverse_chain_pallas(dx_safe)
         inv_all = jnp.moveaxis(
             inv_flat.reshape(16, K, batch), 1, 0
         )  # (K, 16, batch)
@@ -726,10 +837,7 @@ def _p2tr_qx(ladder, bx, by, tx, ty, inv_dx, loT, hiT, batch, chain_len):
     X, _, Z, ok_i = ladder(bx, by, tx, ty, inv_dx, loT, hiT)
     ok = (ok_i[0] > 0) & ~u256.is_zero(Z)
     z_safe = u256.select(ok, Z, u256.constant(1, Z.shape[1:]))
-    C = min(chain_len, batch)
-    zi = field.batch_inverse_chain(
-        z_safe.reshape(16, C, batch // C)
-    ).reshape(16, batch)
+    zi = batch_inverse_chain_pallas(z_safe)
     qx = field.mul(X, field.square(zi))
     return qx, ok
 

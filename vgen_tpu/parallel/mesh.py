@@ -431,6 +431,13 @@ class MeshScanner:
                     jnp.asarray(accept.astype(np.float32).reshape(S, 1)),
                     jnp.int32(dev_dfa.start), rem_dev, *self.extras,
                 )
+            # start the tiny result copy now; a blocking np.asarray at
+            # drain pays the device-link RTT serialized against compute
+            # (scan/scanner.py submit, same rationale)
+            try:
+                packed.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
             return ("fused", packed)
 
         rem_dev = _put_global(rem_np, self._sharding_d)

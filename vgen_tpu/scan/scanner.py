@@ -442,6 +442,14 @@ class DeviceScanner:
                         glv=glv,
                     )
                 packed = pipeline.pack_result(res)[None]
+            # start the tiny (K, 34) device->host copy NOW: a blocking
+            # np.asarray at drain time pays the device-link round trip
+            # (~28 ms through the tunnel) serialized against compute --
+            # measured round 4: 93 ms/super-batch e2e vs 65 ms device time
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:  # non-jax array (CPU fallback paths)
+                pass
             inflight.append((base_scalars, packed))
             nk = next_key + self.batch * n_sub
             if not is_range and nk + self.batch * (n_sub + 1) >= ec.N:
