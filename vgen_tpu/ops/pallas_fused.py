@@ -425,6 +425,120 @@ def batch_inverse_chain_pallas(values):
     return bwd(v4, pex, tinv).reshape(16, N)
 
 
+def _smem_point_vec(ref, k, shape):
+    """(16,) u256 vector block from 16 dynamically-indexed SMEM scalars."""
+    return jnp.concatenate([
+        jnp.broadcast_to(ref[k, l], (1,) + shape) for l in range(16)
+    ])
+
+
+@functools.lru_cache(maxsize=8)
+def _inv_dx_calls(C: int, n_b: int):
+    """Chain kernels that COMPUTE dx = tx - bx[window] on the fly instead
+    of reading a materialized dx array: the XLA dx+select stage measured
+    16.5 ms of a 65 ms step (round-4 profile) against ~2 ms of extra
+    in-kernel work here.  n_b = window size B in 4096-lane chain blocks;
+    window k = c // n_b, zero dx lanes (the doubling slot) are guarded to
+    1 exactly like the XLA path (the match tail re-derives validity)."""
+    vsub, lanes = _INV_VSUB, _INV_LANES
+
+    def _dx_blk(bx_ref, tx_blk, c):
+        bxv = _smem_point_vec(bx_ref, c // n_b, (vsub, lanes))
+        dx = field.sub(tx_blk, bxv)
+        return u256.select(
+            ~u256.is_zero(dx), dx, _u256_one((vsub, lanes))
+        )
+
+    def fwd_kernel(bx_ref, tx_ref, pex_ref, tot_ref, run_ref):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            run_ref[...] = _u256_one((vsub, lanes))
+
+        run = run_ref[...]
+        v = _dx_blk(bx_ref, tx_ref[:, 0], c)
+        pex_ref[:, 0] = run
+        nxt = field.mul_weak(run, v)
+        run_ref[...] = nxt
+
+        @pl.when(c == C - 1)
+        def _():
+            tot_ref[...] = nxt
+
+    def inv_kernel(tot_ref, out_ref):
+        out_ref[...] = field.inv(tot_ref[...])
+
+    def bwd_kernel(bx_ref, tx_ref, pex_ref, tinv_ref, out_ref, acc_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[...] = tinv_ref[...]
+
+        acc = acc_ref[...]
+        v = _dx_blk(bx_ref, tx_ref[:, 0], C - 1 - i)
+        pex = pex_ref[:, 0]
+        out_ref[:, 0] = field.normalize_weak_to_canonical(
+            field.mul_weak(acc, pex)
+        )
+        acc_ref[...] = field.mul_weak(acc, v)
+
+    chain_blk = lambda im: pl.BlockSpec((16, 1, vsub, lanes), im,
+                                        memory_space=pltpu.VMEM)
+    whole = pl.BlockSpec((16, vsub, lanes), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    arr4 = jax.ShapeDtypeStruct((16, C, vsub, lanes), jnp.uint32)
+    arr3 = jax.ShapeDtypeStruct((16, vsub, lanes), jnp.uint32)
+    scratch = [pltpu.VMEM((16, vsub, lanes), jnp.uint32)]
+    tx_blk = lambda im: pl.BlockSpec((16, 1, vsub, lanes), im,
+                                     memory_space=pltpu.VMEM)
+
+    fwd = pl.pallas_call(
+        fwd_kernel,
+        grid=C,
+        in_specs=[smem, tx_blk(lambda c: (0, c % n_b, 0, 0))],
+        out_specs=[chain_blk(lambda c: (0, c, 0, 0)), whole],
+        out_shape=[arr4, arr3],
+        scratch_shapes=scratch,
+    )
+    invc = pl.pallas_call(
+        inv_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=arr3,
+    )
+    rev = lambda c: (0, C - 1 - c, 0, 0)
+    bwd = pl.pallas_call(
+        bwd_kernel,
+        grid=C,
+        in_specs=[smem, tx_blk(lambda c: (0, (C - 1 - c) % n_b, 0, 0)),
+                  chain_blk(rev), whole],
+        out_specs=chain_blk(rev),
+        out_shape=arr4,
+        scratch_shapes=scratch,
+    )
+    return fwd, invc, bwd
+
+
+def batch_inverse_dx_pallas(bx, tx):
+    """Window-difference inverses without materializing dx: bx (K, 16)
+    window base points, tx (16, B) table -> (16, K*B) canonical inverses
+    of (tx[b] - bx[k]) with zero differences guarded to arbitrary finite
+    values (callers mask them by validity, as with the XLA dx path).
+    Requires B % 4096 == 0; returns None otherwise (caller falls back)."""
+    K, B = bx.shape[0], tx.shape[1]
+    if B % _INV_W:
+        return None
+    n_b = B // _INV_W
+    C = K * n_b
+    fwd, invc, bwd = _inv_dx_calls(C, n_b)
+    tx4 = tx.reshape(16, n_b, _INV_VSUB, _INV_LANES)
+    pex, tot = fwd(bx, tx4)
+    tinv = invc(tot)
+    return bwd(bx, tx4, pex, tinv).reshape(16, K * B)
+
+
 def _build_step(tail_one, batch: int, chain_len: int, k_sub: int):
     """Shared step scaffold: ONE Montgomery inversion spanning all k_sub
     windows (each sequential XLA loop step costs ~100us of dispatch
@@ -438,27 +552,35 @@ def _build_step(tail_one, batch: int, chain_len: int, k_sub: int):
 
     def step(bx, by, tx, ty, remaining, *margs):
         K = bx.shape[0]
-        bxl = jnp.transpose(bx)  # (16, K)
-        dx = field.sub(tx[:, None, :], bxl[:, :, None])  # (16, K, batch)
-        dx_flat = dx.reshape(16, K * batch)
-        dx_safe = u256.select(
-            ~u256.is_zero(dx_flat), dx_flat,
-            u256.constant(1, dx_flat.shape[1:])
-        )
-        inv_flat = batch_inverse_chain_pallas(dx_safe)
-        inv_all = jnp.moveaxis(
-            inv_flat.reshape(16, K, batch), 1, 0
-        )  # (K, 16, batch)
+        inv_flat = batch_inverse_dx_pallas(bx, tx)
+        if inv_flat is None:
+            # batch does not tile into chain blocks: materialize dx and
+            # run the generic chain (the original XLA-side structure)
+            bxl = jnp.transpose(bx)  # (16, K)
+            dx = field.sub(tx[:, None, :], bxl[:, :, None])
+            dx_flat = dx.reshape(16, K * batch)
+            dx_safe = u256.select(
+                ~u256.is_zero(dx_flat), dx_flat,
+                u256.constant(1, dx_flat.shape[1:])
+            )
+            inv_flat = batch_inverse_chain_pallas(dx_safe)
 
         if k_sub == 1:
-            return tail_one(bx[0], by[0], tx, ty, inv_all[0], remaining[0],
-                            *margs)[None]
+            return tail_one(bx[0], by[0], tx, ty, inv_flat[:, :batch],
+                            remaining[0], *margs)[None]
 
+        # per-window inverse slabs come from LANE-dim dynamic slices: a
+        # (16, K, batch) -> (K, 16, batch) moveaxis changes the sublane
+        # dim and relayouts the whole 128 MB array
         def body(_, xs):
-            bxk, byk, remk, invk = xs
+            bxk, byk, remk, k = xs
+            invk = jax.lax.dynamic_slice(
+                inv_flat, (jnp.int32(0), k * batch), (16, batch)
+            )
             return None, tail_one(bxk, byk, tx, ty, invk, remk, *margs)
 
-        _, outs = jax.lax.scan(body, None, (bx, by, remaining, inv_all))
+        ks = jnp.arange(K, dtype=jnp.int32)
+        _, outs = jax.lax.scan(body, None, (bx, by, remaining, ks))
         return outs
 
     return jax.jit(step)
