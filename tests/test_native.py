@@ -178,3 +178,43 @@ def test_native_random_scan_draws_fresh_window_per_chunk(monkeypatch):
     gaps = [starts[i + 1] - (starts[i] + 8192) for i in range(2)]
     # contiguous continuation would make every gap exactly 0
     assert any(g != 0 for g in gaps), starts
+
+
+@pytest.mark.parametrize("fmt", ALL_FORMATS)
+def test_native_bulk_derive_matches_single(fmt):
+    """derive_addresses == derive_address per key, in order, across the
+    threaded chunking (n > 64 exercises multiple C++ threads)."""
+    keys = [secrets.randbelow(2**256 - 2**33) + 1 for _ in range(130)]
+    keys += [1, 2, 3]  # known-answer smalls
+    bulk = native.derive_addresses(keys, fmt)
+    assert bulk is not None and len(bulk) == len(keys)
+    for k, addr in zip(keys[:8] + keys[-3:], bulk[:8] + bulk[-3:]):
+        assert addr == native.derive_address(k, fmt)
+
+
+def test_native_bulk_derive_empty_and_threads():
+    assert native.derive_addresses([], "p2pkh") == []
+    keys = [5, 6, 7]
+    assert native.derive_addresses(keys, "p2pkh", n_threads=2) == [
+        native.derive_address(k, "p2pkh") for k in keys
+    ]
+
+
+def test_bulk_derive_checked_matches_per_key():
+    """_derive_checked_bulk yields the same (key, address) stream as
+    per-key _derive_checked, including out-of-range keys -> None."""
+    from vgen_tpu.crypto import secp256k1 as ec
+    from vgen_tpu.scan.scanner import _derive_checked, _derive_checked_bulk
+
+    fmt = AddressFormat.P2PKH
+    gen = AddressGenerator(fmt)
+    keys = [1, 2, ec.N - 1, ec.N, 0, secrets.randbelow(ec.N - 2) + 1]
+    bulk = list(_derive_checked_bulk(keys, fmt, gen))
+    assert [k for k, _ in bulk] == keys
+    for k, ga in bulk:
+        single = _derive_checked(k, fmt, gen)
+        if single is None:
+            assert ga is None
+        else:
+            assert ga is not None and ga.address == single.address
+            assert ga.wif == single.wif

@@ -109,6 +109,15 @@ def get_lib():
         lib.vgen_derive_address.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int
         ]
+        lib.vgen_derive_addresses.restype = None
+        lib.vgen_derive_addresses.argtypes = [
+            ctypes.c_char_p,  # keys (n*32 bytes)
+            ctypes.c_longlong,  # n
+            ctypes.c_int,  # fmt
+            ctypes.c_char_p,  # out (n*stride chars)
+            ctypes.c_int,  # stride
+            ctypes.c_int,  # n_threads (0 = hw concurrency)
+        ]
         lib.vgen_pubkey.restype = None
         lib.vgen_pubkey.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
         _lib = lib
@@ -199,6 +208,37 @@ def pubkey_point(key: int) -> Optional[Tuple[int, int]]:
     lib.vgen_pubkey(key.to_bytes(32, "big"), buf)
     raw = buf.raw
     return int.from_bytes(raw[:32], "big"), int.from_bytes(raw[32:], "big")
+
+
+def derive_addresses(
+    keys: List[int], fmt_value: str, n_threads: int = 0
+) -> Optional[List[Optional[str]]]:
+    """Bulk key -> address derivation (one C call, std::thread inside).
+
+    Returns a list aligned with `keys` (None where derivation failed, e.g.
+    P2TR tweak overflow), or None if the native library is unavailable.
+    ~20us/key single-threaded; the scan loop's winner re-derivation uses
+    this so easy patterns don't serialize one ctypes round trip per
+    candidate."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(keys)
+    if n == 0:
+        return []
+    stride = 96
+    buf = ctypes.create_string_buffer(n * stride)
+    blob = b"".join(k.to_bytes(32, "big") for k in keys)
+    lib.vgen_derive_addresses(
+        blob, n, FMT_CODES[fmt_value], buf, stride, n_threads
+    )
+    raw = buf.raw
+    out: List[Optional[str]] = []
+    for i in range(n):
+        chunk = raw[i * stride:(i + 1) * stride]
+        end = chunk.find(b"\0")
+        out.append(chunk[:end].decode() if end > 0 else None)
+    return out
 
 
 def derive_address(key: int, fmt_value: str) -> Optional[str]:

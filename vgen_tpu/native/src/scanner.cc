@@ -427,6 +427,43 @@ long long vgen_derive_address(const unsigned char* key32, int fmt, char* out,
   return alen;
 }
 
+// Batch derivation: n keys (32-byte BE each, packed) -> addresses written
+// at out + i*stride (NUL-terminated; empty string where derivation failed,
+// e.g. P2TR tweak overflow).  Threaded over contiguous chunks.  The device
+// scan loop uses this to re-derive reported winners in bulk instead of one
+// ctypes call + Python-object round trip per candidate -- the same role as
+// the reference's rayon par_iter over a GPU batch (gpu.rs:1030-1093), but
+// only over the device-reported match slots.
+void vgen_derive_addresses(const unsigned char* keys, long long n, int fmt,
+                           char* out, int stride, int n_threads) {
+  if (n <= 0 || stride < 96) return;
+  if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  // thread-spawn overhead beats the win below ~64 keys/thread
+  long long max_useful = (n + 63) / 64;
+  if (n_threads > max_useful) n_threads = (int)max_useful;
+  long long per = (n + n_threads - 1) / n_threads;
+  auto work = [&](long long lo, long long hi) {
+    for (long long i = lo; i < hi; i++) {
+      long long r = vgen_derive_address(
+          keys + 32 * i, fmt, out + (long long)stride * i, stride);
+      if (r < 0) out[(long long)stride * i] = 0;
+    }
+  };
+  if (n_threads == 1) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; t++) {
+    long long lo = (long long)t * per;
+    long long hi = std::min<long long>(n, lo + per);
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"
 
 // ----------------------------------------------------------------- debug

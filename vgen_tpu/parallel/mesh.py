@@ -582,7 +582,7 @@ class MeshScanner:
         from collections import deque
 
         from vgen_tpu.scan.scanner import (
-            ScanResult, StopFlag, _derive_checked,
+            ScanResult, StopFlag, _derive_checked, _derive_checked_bulk,
         )
 
         import jax
@@ -650,6 +650,7 @@ class MeshScanner:
             from vgen_tpu.ops import pipeline as _pl
 
             K_slots = _pl.TOP_K
+            cand_keys = []  # all windows of the super-batch, in order
             for j in range(arr.shape[0]):
                 base_d = base_scalar + j * self.batch
                 count = int(arr[j, 0])
@@ -693,22 +694,22 @@ class MeshScanner:
                         idxs = sorted(pairs)
                     total_ops += 6 if self.glv_active else 1
                 eth = self.fmt == AddressFormat.ETHEREUM
-                for idx in idxs:
-                    if len(matches) >= target:
-                        break
-                    key0 = base_d + 1 + idx
-                    cands = (
-                        ec.glv_bit_variant_keys(
-                            key0, pairs.get(idx, 0), parity_exact=eth
+                if idxs and len(matches) < target:
+                    for idx in idxs:
+                        key0 = base_d + 1 + idx
+                        cand_keys.extend(
+                            ec.glv_bit_variant_keys(
+                                key0, pairs.get(idx, 0), parity_exact=eth
+                            )
+                            if self.glv_active else [key0]
                         )
-                        if self.glv_active else [key0]
-                    )
-                    for key in cands:
-                        if len(matches) >= target:
-                            break
-                        ga = _derive_checked(key, self.fmt, gen)
-                        if ga is not None and pattern.matches(ga.address):
-                            matches.append(ga)
+            # one threaded native call for the whole super-batch's
+            # candidates (see scan.scanner drain_one)
+            for key, ga in _derive_checked_bulk(cand_keys, self.fmt, gen):
+                if len(matches) >= target:
+                    break
+                if ga is not None and pattern.matches(ga.address):
+                    matches.append(ga)
             if ckpt is not None:
                 done_end = base_scalar + stride
                 ckpt.advance(

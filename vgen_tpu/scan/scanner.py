@@ -53,18 +53,52 @@ def _derive_checked(key: int, fmt: AddressFormat,
     if native.available():
         addr = native.derive_address(key, fmt.value)
         if addr is not None:
-            from vgen_tpu.crypto.encode import wif_encode
-
-            secret = key.to_bytes(32, "big")
-            hexkey = secret.hex()
-            if fmt == AddressFormat.ETHEREUM:
-                wif = hexkey
-            elif fmt == AddressFormat.P2PKH_UNCOMPRESSED:
-                wif = wif_encode(secret, False)
-            else:
-                wif = wif_encode(secret, True)
-            return GeneratedAddress(addr, wif, hexkey, fmt)
+            return _ga_from_addr(key, addr, fmt)
     return gen.generate(key.to_bytes(32, "big"))
+
+
+def _ga_from_addr(key: int, addr: str,
+                  fmt: AddressFormat) -> GeneratedAddress:
+    """GeneratedAddress from a natively-derived address string (WIF/hex are
+    cheap non-EC encodings done here in Python)."""
+    from vgen_tpu.crypto.encode import wif_encode
+
+    secret = key.to_bytes(32, "big")
+    hexkey = secret.hex()
+    if fmt == AddressFormat.ETHEREUM:
+        wif = hexkey
+    elif fmt == AddressFormat.P2PKH_UNCOMPRESSED:
+        wif = wif_encode(secret, False)
+    else:
+        wif = wif_encode(secret, True)
+    return GeneratedAddress(addr, wif, hexkey, fmt)
+
+
+def _derive_checked_bulk(keys: List[int], fmt: AddressFormat,
+                         gen: AddressGenerator):
+    """Bulk counterpart of _derive_checked: one native call (threaded C++)
+    for the whole candidate list, yielding (key, GeneratedAddress|None)
+    pairs in order.  Falls back to the per-key path (which itself falls
+    back to the Python oracle) when the native library is unavailable or
+    a single derivation failed (e.g. P2TR tweak overflow -- the oracle
+    gets the final word, same as _derive_checked)."""
+    from vgen_tpu import native
+
+    valid = [k for k in keys if 1 <= k < ec.N]
+    addrs = native.derive_addresses(valid, fmt.value) if valid else []
+    if addrs is None:  # no native library: per-key fallback
+        for k in keys:
+            yield k, _derive_checked(k, fmt, gen)
+        return
+    by_key = dict(zip(valid, addrs))
+    for k in keys:
+        addr = by_key.get(k)
+        if addr is not None:
+            yield k, _ga_from_addr(k, addr, fmt)
+        elif 1 <= k < ec.N:
+            yield k, gen.generate(k.to_bytes(32, "big"))
+        else:
+            yield k, None
 
 
 @dataclass
@@ -530,6 +564,7 @@ class DeviceScanner:
             base_scalars, packed = inflight.popleft()
             arr = np.asarray(packed)  # ONE transfer: (K, [count, ops, idx...])
             K_slots = pipeline.TOP_K
+            cand_keys: List[int] = []  # all K windows, in window/idx order
             for k, base_scalar in enumerate(base_scalars):
                 count = int(arr[k, 0])
                 total_ops += int(arr[k, 1])
@@ -575,28 +610,30 @@ class DeviceScanner:
                         pairs[dj] = 0  # bits unknown: check all variants
                         idxs = sorted(pairs)
                     total_ops += 6 if glv else 1
-                if idxs:
+                if idxs and len(matches) < target:
                     eth = config.format == AddressFormat.ETHEREUM
                     for idx in idxs:
-                        if len(matches) >= target:
-                            break
                         key0 = base_scalar + 1 + idx
-                        cands = (
+                        cand_keys.extend(
                             ec.glv_bit_variant_keys(
                                 key0, pairs.get(idx, 0), parity_exact=eth
                             )
                             if glv else [key0]
                         )
-                        for key in cands:
-                            if len(matches) >= target:
-                                break
-                            ga = _derive_checked(key, config.format, gen)
-                            # host-side re-derivation doubles as a device-
-                            # correctness check (the reference gets the same
-                            # property by encoding GPU hashes with an
-                            # independent crate, SURVEY.md §4)
-                            if ga is not None and pattern.matches(ga.address):
-                                matches.append(ga)
+            # host-side re-derivation doubles as a device-correctness check
+            # (the reference gets the same property by encoding GPU hashes
+            # with an independent crate, SURVEY.md §4).  All of the
+            # super-batch's candidates go through ONE threaded native call
+            # -- easy patterns fill TOP_K slots every window and a per-key
+            # Python/ctypes loop here was the measured e2e bottleneck
+            # (591M keys/s device-side vs ~390M e2e, round 4).
+            for key, ga in _derive_checked_bulk(
+                cand_keys, config.format, gen
+            ):
+                if len(matches) >= target:
+                    break
+                if ga is not None and pattern.matches(ga.address):
+                    matches.append(ga)
             if ckpt is not None:
                 # keys below the end of this drained window are now complete
                 done_end = base_scalars[-1] + self.batch
