@@ -52,8 +52,12 @@ def build_sections(batch: int = 262144, tile: int = 512,
     bx1 = jnp.asarray(_ints_to_limbs([base[0]]))
     by1 = jnp.asarray(_ints_to_limbs([base[1]]))
 
-    def _cases(cases):
-        return cases[:1] if quick else cases
+    def _cases(cases, nq: int = 1):
+        """quick=True keeps the first nq cases of the group (bench.py's
+        per-round gate); nq=2 where the second case is the only on-device
+        coverage a shipped kernel gets (VERDICT r4 item 1:
+        p2pkh-uncompressed fused kernels must be in the quick gate)."""
+        return cases[:nq] if quick else cases
 
     sections = []
 
@@ -96,10 +100,11 @@ def build_sections(batch: int = 262144, tile: int = 512,
 
     for fmt, pattern in _cases([
         (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.P2PKH_UNCOMPRESSED, "^1A"),
         (AddressFormat.P2WPKH, "^bc1qq"),
         (AddressFormat.P2SH_P2WPKH, "^3J"),
         (AddressFormat.ETHEREUM, "^0x1[2Ff]"),  # exercises EIP-55 casing
-    ]):
+    ], nq=2):
         sections.append((
             f"oracle-dfa:{fmt.value}",
             lambda fmt=fmt, pattern=pattern: _oracle_case(fmt, pattern),
@@ -140,10 +145,11 @@ def build_sections(batch: int = 262144, tile: int = 512,
 
     for fmt, pattern in _cases([
         (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.P2PKH_UNCOMPRESSED, "^1A"),
         (AddressFormat.P2WPKH, "^bc1qq"),
         (AddressFormat.P2SH_P2WPKH, "^3J"),
         (AddressFormat.ETHEREUM, "^0x12"),
-    ]):
+    ], nq=2):
         sections.append((
             f"interval:{fmt.value}",
             lambda fmt=fmt, pattern=pattern: _interval_case(fmt, pattern),
@@ -162,7 +168,7 @@ def build_sections(batch: int = 262144, tile: int = 512,
             )
             <= set(ec.glv_bit_variant_keys(
                 base_oracle + 1 + i, vbits[i],
-                parity_exact=fmt == AddressFormat.ETHEREUM,
+                parity_exact=fmt in pipeline.GLV_EXACT_Y,
             ))
             for i in got
         )
@@ -212,10 +218,11 @@ def build_sections(batch: int = 262144, tile: int = 512,
 
     for fmt, pattern in _cases([
         (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.P2PKH_UNCOMPRESSED, "^1A"),
         (AddressFormat.P2WPKH, "^bc1qq"),
         (AddressFormat.P2SH_P2WPKH, "^3J"),
         (AddressFormat.ETHEREUM, "^0x12"),
-    ]):
+    ], nq=2):
         sections.append((
             f"glv-interval:{fmt.value}",
             lambda fmt=fmt, pattern=pattern: _glv_interval_case(fmt, pattern),
@@ -263,9 +270,11 @@ def build_sections(batch: int = 262144, tile: int = 512,
 
     for fmt, pattern in _cases([
         (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.P2PKH_UNCOMPRESSED, "^1A"),
         (AddressFormat.P2WPKH, "q$"),
+        (AddressFormat.P2SH_P2WPKH, "J$"),
         (AddressFormat.ETHEREUM, "^0x1[2Ff]"),
-    ]):
+    ], nq=2):
         sections.append((
             f"glv-dfa:{fmt.value}",
             lambda fmt=fmt, pattern=pattern: _glv_dfa_case(fmt, pattern),
@@ -371,9 +380,11 @@ def build_sections(batch: int = 262144, tile: int = 512,
 
     for fmt, pattern in _cases([
         (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.P2PKH_UNCOMPRESSED, "^1A"),
         (AddressFormat.P2WPKH, "^bc1qq"),
         (AddressFormat.P2SH_P2WPKH, "^3J"),
-    ]):
+        (AddressFormat.ETHEREUM, "^0x1[2Ff]"),
+    ], nq=2):
         sections.append((
             f"fused-vs-xla:{fmt.value}",
             lambda fmt=fmt, pattern=pattern: _fused_vs_xla_case(fmt, pattern),
@@ -384,13 +395,23 @@ def build_sections(batch: int = 262144, tile: int = 512,
 
 def run_validation_detail(batch: int = 262144, tile: int = 512,
                           quick: bool = False,
-                          deadline: float | None = None) -> dict:
+                          deadline: float | None = None,
+                          only: str | None = None) -> dict:
     """Run validation sections, optionally stopping at a wall-clock
     deadline (time.monotonic() value).  Returns
     {"passed": bool, "done": n, "total": m, "failed": [names],
     "sections": [{name, ok, secs}]} -- passed means every section that
-    RAN passed; done < total means the deadline truncated the run."""
+    RAN passed; done < total means the deadline truncated the run.
+
+    only: comma-separated substrings; keep sections whose name contains
+    any of them (targeted re-runs after touching one kernel family)."""
     sections = build_sections(batch, tile, quick)
+    if only:
+        keys = [s.strip() for s in only.split(",") if s.strip()]
+        sections = [
+            (name, thunk) for name, thunk in sections
+            if any(k in name for k in keys)
+        ]
     done = 0
     failed = []
     results = []
@@ -427,7 +448,9 @@ def run_validation(batch: int = 262144, tile: int = 512,
 
 if __name__ == "__main__":
     quick = os.environ.get("VGEN_VALIDATE_QUICK", "0") == "1"
-    res = run_validation_detail(quick=quick)
+    res = run_validation_detail(
+        quick=quick, only=os.environ.get("VGEN_VALIDATE_ONLY")
+    )
     out_path = os.environ.get("VGEN_VALIDATE_JSON")
     if out_path:
         import json

@@ -101,7 +101,8 @@ def test_glv_interval_mask_unroll_parity():
     hi = jnp.full((2, 5), 0xFFFFFFFF, dtype=jnp.uint32)
     hi = hi.at[0, 0].set(0x3FFFFFFF)  # narrow slot 0 so masks vary
     hi = hi.at[1, 0].set(0x0000FFFF)
-    for fmt in (AddressFormat.P2PKH, AddressFormat.P2SH_P2WPKH):
+    for fmt in (AddressFormat.P2PKH, AddressFormat.P2SH_P2WPKH,
+                AddressFormat.P2PKH_UNCOMPRESSED):
         m1 = np.asarray(
             pipeline.glv_interval_mask(fmt, xl, yl, lo, hi, unroll=True)
         )

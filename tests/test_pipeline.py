@@ -156,3 +156,30 @@ def test_suffix_anchor_pipeline():
     expect = expected_indices(pat, addrs)
     assert 7 in expect
     assert got_indices(res) == expect
+
+
+@pytest.mark.parametrize("scenario", ["empty", "sparse", "dense",
+                                      "clustered", "exact16", "tail_block"])
+def test_top_k_two_stage_exact(scenario):
+    """top_k_match_indices must equal lax.top_k exactly for every match
+    distribution, including >TOP_K matches clustered inside one block."""
+    B = 32768  # 64 blocks of 512: exercises the two-stage path
+    r = np.random.default_rng(hash(scenario) % 2**32)
+    scores = np.full(B, -1, dtype=np.int32)
+    if scenario == "sparse":
+        hits = r.choice(B, size=5, replace=False)
+    elif scenario == "dense":
+        hits = r.choice(B, size=700, replace=False)
+    elif scenario == "clustered":
+        hits = np.arange(B - 40, B)  # all top-K in the last block
+    elif scenario == "exact16":
+        hits = r.choice(B, size=16, replace=False)
+    elif scenario == "tail_block":
+        hits = np.concatenate([np.arange(20), [B - 1]])
+    else:
+        hits = np.array([], dtype=np.int64)
+    scores[hits.astype(np.int64)] = hits.astype(np.int32)
+    sj = jnp.asarray(scores)
+    got = np.asarray(pipeline.top_k_match_indices(sj))
+    ref, _ = jax.lax.top_k(sj, pipeline.TOP_K)
+    np.testing.assert_array_equal(got, np.asarray(ref))

@@ -81,6 +81,7 @@ def test_range_tail_vs_oracle(fmt, pattern):
     "fmt,pattern",
     [
         (AddressFormat.P2PKH, "^1C"),
+        (AddressFormat.P2PKH_UNCOMPRESSED, "^1A"),
         (AddressFormat.ETHEREUM, "^0x1"),
     ],
 )
@@ -90,6 +91,49 @@ def test_range_tail_glv_vs_oracle(fmt, pattern):
     assert got == expect[-pipeline.TOP_K:]
     assert count == len(expect)
     assert ops == 6 * B
+
+
+@pytest.mark.parametrize(
+    "fmt,pattern",
+    [
+        (AddressFormat.P2PKH_UNCOMPRESSED, "^1A"),
+        (AddressFormat.ETHEREUM, "^0x1"),
+    ],
+)
+def test_range_tail_glv_exact_y_vbits(fmt, pattern):
+    """GLV_EXACT_Y formats hash the full (x, y): the reported variant bit
+    2v+pi must resolve (parity_exact=True) to the exact matching key."""
+    import jax.numpy as jnp
+
+    tx, ty = tables.ig_table_limbs(B)
+    pt = ec.scalar_mult(BASE)
+    bx = jnp.asarray(tables._ints_to_limbs([pt[0]])[0])
+    by = jnp.asarray(tables._ints_to_limbs([pt[1]])[0])
+    pat = Pattern(pattern)
+    ivs = pat.match_intervals(fmt)
+    lo, hi = pipeline.intervals_to_words(ivs, pipeline.INTERVAL_WORDS[fmt])
+    res = pipeline.run_range_scan_step(
+        fmt, bx, by, jnp.asarray(tx), jnp.asarray(ty), lo, hi, B,
+        chain_len=CHAIN, glv=True,
+    )
+    gen = AddressGenerator(fmt)
+    pairs = {
+        int(i): int(b)
+        for i, b in zip(np.asarray(res.indices), np.asarray(res.vbits))
+        if i >= 0
+    }
+    assert pairs, "pattern should match some window position"
+    for i, bits in pairs.items():
+        key = BASE + 1 + i
+        matching = {
+            v for v in ec.glv_variant_keys(key)
+            if pat.matches(gen.generate(v.to_bytes(32, "big")).address)
+        }
+        cands = set(ec.glv_bit_variant_keys(key, bits, parity_exact=True))
+        assert matching <= cands, (i, bits, matching, cands)
+        # exactness: every candidate the host would derive DOES match
+        for c in cands:
+            assert pat.matches(gen.generate(c.to_bytes(32, "big")).address)
 
 
 def _run_dfa(fmt, pattern_str, glv=False):
@@ -119,6 +163,7 @@ def _run_dfa(fmt, pattern_str, glv=False):
     "fmt,pattern",
     [
         (AddressFormat.P2PKH, "^1C"),          # prefix via DFA
+        (AddressFormat.P2PKH_UNCOMPRESSED, "^1A"),  # full-(x,y) hash
         (AddressFormat.P2WPKH, "q$"),          # suffix (non-interval)
         (AddressFormat.P2SH_P2WPKH, "^3[AB]"),
         (AddressFormat.ETHEREUM, "^0x[1Ff]"),  # EIP-55 cased class

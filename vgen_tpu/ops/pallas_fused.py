@@ -192,9 +192,10 @@ def _make_glv_dfa_kernel(fmt: AddressFormat, vsub: int, tile: int,
     """GLV DFA kernel: each window position DFA-matches the addresses of
     all 6 endomorphism variants {±k, ±λk, ±λ²k} -- 6 keys per EC add for
     arbitrary regex patterns, not just interval-compilable prefixes.  The
-    variants' points share x-coordinates {x, βx, β²x}; hash160 formats
-    cover ± via the two compressed prefixes (x-only finish), Ethereum via
-    ±y (full finish)."""
+    variants' points share x-coordinates {x, βx, β²x}; compressed-hash160
+    formats cover ± via the two compressed prefixes (x-only finish),
+    GLV_EXACT_Y formats (Ethereum, uncompressed p2pkh) via ±y (full
+    finish)."""
     from vgen_tpu.crypto import secp256k1 as ec
 
     def kernel(start_ref, rem_ref, bx_ref, by_ref, tx_ref, ty_ref, inv_ref,
@@ -202,7 +203,7 @@ def _make_glv_dfa_kernel(fmt: AddressFormat, vsub: int, tile: int,
         i = pl.program_id(0)
         bx = bx_ref[:, 0, 0][:, None, None]
         by = by_ref[:, 0, 0][:, None, None]
-        if fmt == AddressFormat.ETHEREUM:
+        if fmt in pipeline.GLV_EXACT_Y:
             x3, y3, valid = _ec_finish(bx, by, tx_ref[...], ty_ref[...],
                                        inv_ref[...])
             ys = (y3, field.neg(y3))
@@ -238,10 +239,10 @@ def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
     dfa_f32 (S,W), accept_f32 (S,1)) -> match (1, batch) int32."""
     width = pipeline.FORMAT_DFA_WIDTH[fmt]
     # VMEM budget (measured scoped-VMEM OOMs, round 3): plain DFA fits
-    # 2048 keys/tile, GLV-DFA 1024, Ethereum GLV-DFA (6 unrolled keccaks)
-    # 512
+    # 2048 keys/tile, GLV-DFA 1024, GLV_EXACT_Y GLV-DFA 512 (6 unrolled
+    # keccaks / 6 two-block hash160_65s)
     if glv:
-        max_keys = 512 if fmt == AddressFormat.ETHEREUM else 1024
+        max_keys = 512 if fmt in pipeline.GLV_EXACT_Y else 1024
     else:
         max_keys = 2048
     vsub, tile = _tile_plan(batch, tile, max_keys=max_keys)
@@ -304,7 +305,7 @@ def _pack_tail(match, remaining, batch, ops_mult: int = 1):
     matched = match > 0
     count = jnp.sum(matched.astype(jnp.int32))
     scores = jnp.where(matched, idx, jnp.int32(-1))
-    top, _ = jax.lax.top_k(scores, pipeline.TOP_K)
+    top = pipeline.top_k_match_indices(scores)
     vbits = jnp.where(top >= 0, match[jnp.maximum(top, 0)], 0)
     ops = jnp.minimum(jnp.maximum(remaining, jnp.int32(0)), jnp.int32(batch))
     ops = ops * jnp.int32(ops_mult)
@@ -333,8 +334,18 @@ def _u256_one(shape):
 
 
 @functools.lru_cache(maxsize=8)
-def _inv_chain_calls(C: int):
+def _inv_chain_calls(C: int, guard_zero: bool = False):
     vsub, lanes = _INV_VSUB, _INV_LANES
+
+    def _v(v_ref):
+        v = v_ref[:, 0]
+        if guard_zero:
+            # zero values (e.g. dead-lane ladder Z's) are guarded to 1 so
+            # the chain stays invertible; callers mask those lanes anyway
+            v = u256.select(
+                ~u256.is_zero(v), v, _u256_one((vsub, lanes))
+            )
+        return v
 
     def fwd_kernel(v_ref, pex_ref, tot_ref, run_ref):
         c = pl.program_id(0)
@@ -344,7 +355,7 @@ def _inv_chain_calls(C: int):
             run_ref[...] = _u256_one((vsub, lanes))
 
         run = run_ref[...]
-        v = v_ref[:, 0]
+        v = _v(v_ref)
         pex_ref[:, 0] = run  # prefix EXCLUSIVE: v0..v(c-1)
         nxt = field.mul_weak(run, v)
         run_ref[...] = nxt
@@ -364,7 +375,7 @@ def _inv_chain_calls(C: int):
             acc_ref[...] = tinv_ref[...]
 
         acc = acc_ref[...]
-        v = v_ref[:, 0]
+        v = _v(v_ref)
         pex = pex_ref[:, 0]
         out_ref[:, 0] = field.normalize_weak_to_canonical(
             field.mul_weak(acc, pex)
@@ -404,13 +415,20 @@ def _inv_chain_calls(C: int):
     return fwd, invc, bwd
 
 
-def batch_inverse_chain_pallas(values):
+def batch_inverse_chain_pallas(values, guard_zero: bool = False):
     """Drop-in replacement for field.batch_inverse_chain on flat (16, N)
-    arrays (zero-free, weak-tolerant, canonical output).  Chains run over
-    N/4096 grid steps of V-tiled (16, 8, 512) blocks; falls back to the
-    XLA chain when N does not tile."""
+    arrays (zero-free unless guard_zero, weak-tolerant, canonical output).
+    Chains run over N/4096 grid steps of V-tiled (16, 8, 512) blocks;
+    falls back to the XLA chain when N does not tile.  guard_zero=True
+    maps zero inputs to 1 INSIDE the kernels (their "inverses" are
+    arbitrary finite values the caller must mask)."""
     N = values.shape[1]
     if N % _INV_W or N < 2 * _INV_W:
+        if guard_zero:
+            values = u256.select(
+                ~u256.is_zero(values), values,
+                u256.constant(1, values.shape[1:]),
+            )
         C = min(256, N)
         while N % C:
             C //= 2
@@ -418,7 +436,7 @@ def batch_inverse_chain_pallas(values):
             values.reshape(16, C, N // C)
         ).reshape(16, N)
     C = N // _INV_W
-    fwd, invc, bwd = _inv_chain_calls(C)
+    fwd, invc, bwd = _inv_chain_calls(C, guard_zero)
     v4 = values.reshape(16, C, _INV_VSUB, _INV_LANES)
     pex, tot = fwd(v4)
     tinv = invc(tot)
@@ -891,16 +909,28 @@ def p2tr_ladder_finish_fn(batch: int, tile: int = DEFAULT_TILE):
     return fn
 
 
-def _make_p2tr_match_kernel(vsub: int, tile: int, span: int):
-    """Bech32m encode + DFA match over normalized output keys: (start,
-    remaining, qx, ok, dfa, accept) -> match.  Tiny next to the ladder --
-    33 shift/mask symbol extractions + the shared one-hot DFA matmul."""
+def _p2tr_qx_in_kernel(X_ref, Z_ref, zi_ref, ok_ref):
+    """Shared finish inside the P2TR tail kernels: qx = X * zi^2 with the
+    dead-lane mask.  The round-4 XLA version of this (select + 2 field
+    muls + word extraction at (16, 512K)) streamed every intermediate
+    through HBM and held P2TR to 45% of its ladder bound (VERDICT r4
+    weak-3); in-kernel the whole finish stays VMEM-resident."""
+    Z = Z_ref[...]
+    ok = (ok_ref[0] > 0) & ~u256.is_zero(Z)
+    qx = field.mul(X_ref[...], field.square(zi_ref[...]))
+    return qx, ok
 
-    def kernel(start_ref, rem_ref, qx_ref, ok_ref, dfa_ref, acc_ref,
-               match_ref):
+
+def _make_p2tr_finish_match_kernel(vsub: int, tile: int, span: int):
+    """Jacobian-output finish + bech32m encode + DFA match in one kernel:
+    (start, remaining, X, Z, zi, ok, dfa, accept) -> match.  zi is the
+    (guard_zero) chain inverse of Z; dead lanes (ok=0 or Z=0) carry
+    arbitrary finite zi and are masked here."""
+
+    def kernel(start_ref, rem_ref, X_ref, Z_ref, zi_ref, ok_ref, dfa_ref,
+               acc_ref, match_ref):
         i = pl.program_id(0)
-        qx = qx_ref[...]
-        okv = ok_ref[0] > 0
+        qx, okv = _p2tr_qx_in_kernel(X_ref, Z_ref, zi_ref, ok_ref)
         syms, length = encode.segwit_symbols(u256.to_bytes_be(qx), 1)
         valid = okv & (_tile_gidx(i, vsub, tile, span) < rem_ref[0])
         m = _match_tile(dfa_ref[...], acc_ref[...], start_ref[0], syms,
@@ -910,14 +940,31 @@ def _make_p2tr_match_kernel(vsub: int, tile: int, span: int):
     return kernel
 
 
+def _make_p2tr_finish_range_kernel(vsub: int, tile: int, span: int):
+    """Jacobian-output finish + 8-word interval compare in one kernel:
+    (remaining, lo, hi, X, Z, zi, ok) -> match."""
+
+    def kernel(rem_ref, lo_ref, hi_ref, X_ref, Z_ref, zi_ref, ok_ref,
+               match_ref):
+        i = pl.program_id(0)
+        qx, okv = _p2tr_qx_in_kernel(X_ref, Z_ref, zi_ref, ok_ref)
+        words = pipeline.bytes_be_words(u256.to_bytes_be(qx))
+        matched = pipeline.in_intervals(words, lo_ref, hi_ref)
+        valid = okv & (_tile_gidx(i, vsub, tile, span) < rem_ref[0])
+        match_ref[0] = jnp.where(matched & valid, 1, 0)
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=4)
-def p2tr_match_fn(batch: int, n_states: int, tile: int = DEFAULT_TILE):
-    """Compiled P2TR DFA matcher over normalized output keys."""
+def p2tr_finish_match_fn(batch: int, n_states: int,
+                         tile: int = DEFAULT_TILE):
+    """Compiled P2TR finish+DFA tail over Jacobian ladder outputs."""
     width = pipeline.FORMAT_DFA_WIDTH[AddressFormat.P2TR]
     vsub, tile = _tile_plan(batch, tile, max_keys=2048)
     span = batch // vsub
     grid = span // tile
-    kernel = _make_p2tr_match_kernel(vsub, tile, span)
+    kernel = _make_p2tr_finish_match_kernel(vsub, tile, span)
 
     limb = lambda: pl.BlockSpec((16, vsub, tile), lambda i: (0, 0, i),
                                 memory_space=pltpu.VMEM)
@@ -930,7 +977,9 @@ def p2tr_match_fn(batch: int, n_states: int, tile: int = DEFAULT_TILE):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # start (1,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # remaining (1,)
-            limb(),  # qx
+            limb(),  # X
+            limb(),  # Z
+            limb(),  # zi
             pl.BlockSpec((1, vsub, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),  # ok
             rep((n_states, width)),  # dfa f32
@@ -941,11 +990,13 @@ def p2tr_match_fn(batch: int, n_states: int, tile: int = DEFAULT_TILE):
         out_shape=jax.ShapeDtypeStruct((1, vsub, span), jnp.int32),
     )
 
-    def fn(start, remaining, qx, ok_i, dfa_f32, accept_f32):
+    def fn(start, remaining, X, Z, zi, ok_i, dfa_f32, accept_f32):
         return call(
             jnp.reshape(jnp.asarray(start, dtype=jnp.int32), (1,)),
             jnp.reshape(jnp.asarray(remaining, dtype=jnp.int32), (1,)),
-            qx.reshape(16, vsub, span),
+            X.reshape(16, vsub, span),
+            Z.reshape(16, vsub, span),
+            zi.reshape(16, vsub, span),
             ok_i.reshape(1, vsub, span),
             dfa_f32,
             accept_f32,
@@ -954,37 +1005,79 @@ def p2tr_match_fn(batch: int, n_states: int, tile: int = DEFAULT_TILE):
     return fn
 
 
-def _p2tr_qx(ladder, bx, by, tx, ty, inv_dx, loT, hiT, batch, chain_len):
-    """Ladder kernel -> one XLA batch normalization -> (qx, ok (batch,))."""
+@functools.lru_cache(maxsize=4)
+def p2tr_finish_range_fn(batch: int, n_slots: int,
+                         tile: int = DEFAULT_TILE):
+    """Compiled P2TR finish+interval tail over Jacobian ladder outputs."""
+    vsub, tile = _tile_plan(batch, tile, max_keys=2048)
+    span = batch // vsub
+    grid = span // tile
+    kernel = _make_p2tr_finish_range_kernel(vsub, tile, span)
+
+    limb = lambda: pl.BlockSpec((16, vsub, tile), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # remaining (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lo (slots, 8)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # hi (slots, 8)
+            limb(),  # X
+            limb(),  # Z
+            limb(),  # zi
+            pl.BlockSpec((1, vsub, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),  # ok
+        ],
+        out_specs=pl.BlockSpec((1, vsub, tile), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, vsub, span), jnp.int32),
+    )
+
+    def fn(remaining, lo, hi, X, Z, zi, ok_i):
+        return call(
+            jnp.reshape(jnp.asarray(remaining, dtype=jnp.int32), (1,)),
+            lo, hi,
+            X.reshape(16, vsub, span),
+            Z.reshape(16, vsub, span),
+            zi.reshape(16, vsub, span),
+            ok_i.reshape(1, vsub, span),
+        ).reshape(1, batch)
+
+    return fn
+
+
+def _p2tr_ladder_zi(ladder, bx, by, tx, ty, inv_dx, loT, hiT):
+    """Ladder kernel + guard-zero Pallas inversion of Z.  Everything after
+    (qx = X*zi^2, encode/compare, masks) happens inside the finish kernels
+    -- the XLA version of that tail streamed (16, 512K) intermediates
+    through HBM and held P2TR at 45% of its ladder bound (round-4
+    ROOFLINE)."""
     X, _, Z, ok_i = ladder(bx, by, tx, ty, inv_dx, loT, hiT)
-    ok = (ok_i[0] > 0) & ~u256.is_zero(Z)
-    z_safe = u256.select(ok, Z, u256.constant(1, Z.shape[1:]))
-    zi = batch_inverse_chain_pallas(z_safe)
-    qx = field.mul(X, field.square(zi))
-    return qx, ok
+    zi = batch_inverse_chain_pallas(Z, guard_zero=True)
+    return X, Z, zi, ok_i
 
 
 @functools.lru_cache(maxsize=8)
 def fused_p2tr_range_scan_step(batch: int, chain_len: int = 256,
-                               tile: int = DEFAULT_TILE, k_sub: int = 1):
+                               tile: int = DEFAULT_TILE, k_sub: int = 1,
+                               n_slots: int = pipeline.MAX_INTERVALS):
     """Fully-fused P2TR interval scan step: XLA inversion -> Pallas
-    [EC finish + TapTweak + ladder] -> XLA Z-normalization + 8-word range
-    compare of the output key.  (bx (K,16), by (K,16), tx, ty,
+    [EC finish + TapTweak + ladder] -> Pallas Z-chain -> Pallas
+    [finish + 8-word range compare].  (bx (K,16), by (K,16), tx, ty,
     lo/hi (slots,8) u32, remaining (K,), window_table) -> (K,34) int32.
 
     No GLV: the TapTweak rebinds the key, so endomorphism variants do not
     share output keys (pipeline.GLV_FORMATS excludes P2TR)."""
     ladder = p2tr_ladder_finish_fn(batch, tile)
+    finish = p2tr_finish_range_fn(batch, n_slots, tile)
 
     def _tail_one(bx, by, tx, ty, inv_dx, remaining, lo, hi, loT, hiT):
-        qx, ok = _p2tr_qx(ladder, bx, by, tx, ty, inv_dx, loT, hiT,
-                          batch, chain_len)
-        words = pipeline.bytes_be_words(u256.to_bytes_be(qx))
-        idx = jnp.arange(batch, dtype=jnp.int32)
-        matched = pipeline.in_intervals(words, lo, hi) & ok & (
-            idx < remaining
-        )
-        return _pack_tail(jnp.where(matched, 1, 0), remaining, batch)
+        X, Z, zi, ok_i = _p2tr_ladder_zi(ladder, bx, by, tx, ty, inv_dx,
+                                         loT, hiT)
+        match = finish(remaining, lo, hi, X, Z, zi, ok_i)[0]
+        return _pack_tail(match, remaining, batch)
 
     built = _build_step(_tail_one, batch, chain_len, k_sub)
 
@@ -998,21 +1091,19 @@ def fused_p2tr_range_scan_step(batch: int, chain_len: int = 256,
 @functools.lru_cache(maxsize=8)
 def fused_p2tr_scan_step(batch: int, n_states: int, chain_len: int = 256,
                          tile: int = DEFAULT_TILE, k_sub: int = 1):
-    """Fully-fused P2TR DFA scan step: ladder kernel + XLA normalization +
-    Pallas bech32m-encode/DFA kernel.  (bx (K,16), by (K,16), tx, ty,
-    dfa_f32, accept_f32, start, remaining (K,), window_table) ->
+    """Fully-fused P2TR DFA scan step: ladder kernel + Pallas Z-chain +
+    Pallas [finish + bech32m-encode/DFA] kernel.  (bx (K,16), by (K,16),
+    tx, ty, dfa_f32, accept_f32, start, remaining (K,), window_table) ->
     (K, 34) int32."""
     ladder = p2tr_ladder_finish_fn(batch, tile)
-    match_fn = p2tr_match_fn(batch, n_states, tile)
+    finish = p2tr_finish_match_fn(batch, n_states, tile)
 
     def _tail_one(bx, by, tx, ty, inv_dx, remaining, dfa_f32, accept_f32,
                   start, loT, hiT):
-        qx, ok = _p2tr_qx(ladder, bx, by, tx, ty, inv_dx, loT, hiT,
-                          batch, chain_len)
-        match = match_fn(
-            start, remaining, qx, jnp.where(ok, 1, 0)[None], dfa_f32,
-            accept_f32,
-        )[0]
+        X, Z, zi, ok_i = _p2tr_ladder_zi(ladder, bx, by, tx, ty, inv_dx,
+                                         loT, hiT)
+        match = finish(start, remaining, X, Z, zi, ok_i, dfa_f32,
+                       accept_f32)[0]
         return _pack_tail(match, remaining, batch)
 
     built = _build_step(_tail_one, batch, chain_len, k_sub)
@@ -1028,20 +1119,17 @@ def fused_p2tr_scan_step(batch: int, n_states: int, chain_len: int = 256,
 
 @functools.lru_cache(maxsize=8)
 def fused_p2tr_range_mask_step(batch: int, chain_len: int = 256,
-                               tile: int = DEFAULT_TILE):
+                               tile: int = DEFAULT_TILE,
+                               n_slots: int = pipeline.MAX_INTERVALS):
     """Full-mask variant of fused_p2tr_range_scan_step (overflow
     recovery): -> (1, batch) int32 match mask."""
     ladder = p2tr_ladder_finish_fn(batch, tile)
+    finish = p2tr_finish_range_fn(batch, n_slots, tile)
 
     def _tail_one(bx, by, tx, ty, inv_dx, remaining, lo, hi, loT, hiT):
-        qx, ok = _p2tr_qx(ladder, bx, by, tx, ty, inv_dx, loT, hiT,
-                          batch, chain_len)
-        words = pipeline.bytes_be_words(u256.to_bytes_be(qx))
-        idx = jnp.arange(batch, dtype=jnp.int32)
-        matched = pipeline.in_intervals(words, lo, hi) & ok & (
-            idx < remaining
-        )
-        return jnp.where(matched, 1, 0)
+        X, Z, zi, ok_i = _p2tr_ladder_zi(ladder, bx, by, tx, ty, inv_dx,
+                                         loT, hiT)
+        return finish(remaining, lo, hi, X, Z, zi, ok_i)[0]
 
     built = _build_step(_tail_one, batch, chain_len, k_sub=1)
 
@@ -1058,16 +1146,14 @@ def fused_p2tr_scan_mask_step(batch: int, n_states: int,
                               tile: int = DEFAULT_TILE):
     """Full-mask variant of fused_p2tr_scan_step (overflow recovery)."""
     ladder = p2tr_ladder_finish_fn(batch, tile)
-    match_fn = p2tr_match_fn(batch, n_states, tile)
+    finish = p2tr_finish_match_fn(batch, n_states, tile)
 
     def _tail_one(bx, by, tx, ty, inv_dx, remaining, dfa_f32, accept_f32,
                   start, loT, hiT):
-        qx, ok = _p2tr_qx(ladder, bx, by, tx, ty, inv_dx, loT, hiT,
-                          batch, chain_len)
-        return match_fn(
-            start, remaining, qx, jnp.where(ok, 1, 0)[None], dfa_f32,
-            accept_f32,
-        )[0]
+        X, Z, zi, ok_i = _p2tr_ladder_zi(ladder, bx, by, tx, ty, inv_dx,
+                                         loT, hiT)
+        return finish(start, remaining, X, Z, zi, ok_i, dfa_f32,
+                      accept_f32)[0]
 
     built = _build_step(_tail_one, batch, chain_len, k_sub=1)
 
@@ -1142,7 +1228,7 @@ def _make_range_glv_kernel(fmt: AddressFormat, vsub: int, tile: int, span: int):
         i = pl.program_id(0)
         bx = bx_ref[:, 0, 0][:, None, None]
         by = by_ref[:, 0, 0][:, None, None]
-        if fmt == AddressFormat.ETHEREUM:
+        if fmt in pipeline.GLV_EXACT_Y:
             x3, y3, valid = _ec_finish(bx, by, tx_ref[...], ty_ref[...],
                                        inv_ref[...])
         else:

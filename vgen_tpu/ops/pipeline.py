@@ -305,6 +305,15 @@ def glv_variant_symbols(fmt: AddressFormat, xv, yv, pi: int,
         )
         digest = keccak.keccak256_bytes(pub64, 64)
         return encode.eth_symbols(digest[12:])
+    if fmt == AddressFormat.P2PKH_UNCOMPRESSED:
+        # full-coordinate hash: yv is the exact ±y (GLV_EXACT_Y), pi only
+        # selects which sign the caller passed
+        if unroll:
+            return encode.base58check_symbols_words(
+                0, encode.hash160_65_words_from_xy(xv, yv), b58_basis
+            )
+        h160 = encode.hash160_65(uncompressed_pubkey_bytes(xv, yv))
+        return encode.base58check_symbols(_base58_payload(0, h160), b58_basis)
     if unroll:
         h160w = encode.hash160_33_words_from_x(xv, 2 + pi)
         if fmt == AddressFormat.P2PKH:
@@ -364,7 +373,7 @@ def make_format_mask(fmt: AddressFormat, unroll: bool = False,
             beta2 = u256.constant(ec.BETA2, x3.shape[1:])
             ys = (
                 (y3, field.neg(y3))
-                if fmt == AddressFormat.ETHEREUM else (None, None)
+                if fmt in GLV_EXACT_Y else (None, None)
             )
             bits = jnp.zeros(B, dtype=jnp.int32)
             for v, xv in enumerate(
@@ -411,6 +420,33 @@ def make_format_mask(fmt: AddressFormat, unroll: bool = False,
     return mask
 
 
+_TOPK_BLOCK = 512
+
+
+def top_k_match_indices(scores):
+    """Exact top-TOP_K of a (B,) int32 score vector (score = index for
+    matches, -1 for misses) via a two-stage reduction.
+
+    lax.top_k over the full 512K batch measured 7.4 ms of a ~50 ms scan
+    step (round-4 step-split profile).  Stage 1 takes a per-block max
+    (one full-width VPU pass) and top-Ks the B/512 block maxima; stage 2
+    top-Ks the 16 selected blocks' 8192 raw scores.  Exactness: scores
+    are distinct indices or -1, so every block holding one of the global
+    top-K has block-max >= the K-th largest score and outranks every
+    non-holding block; there are at most K such blocks, so the K selected
+    blocks cover the global top-K."""
+    B = scores.shape[0]
+    if B % _TOPK_BLOCK or B < 2 * _TOPK_BLOCK * TOP_K:
+        top, _ = jax.lax.top_k(scores, TOP_K)
+        return top
+    s2 = scores.reshape(B // _TOPK_BLOCK, _TOPK_BLOCK)
+    bmax = jnp.max(s2, axis=1)
+    _, bidx = jax.lax.top_k(bmax, TOP_K)
+    seg = s2[bidx].reshape(-1)
+    top, _ = jax.lax.top_k(seg, TOP_K)
+    return top
+
+
 def mask_to_result(matchbits, valid, ops_mult: int = 1) -> "StepResult":
     """(matchbits, valid) -> packed StepResult (count, top-K, ops, vbits).
 
@@ -423,7 +459,7 @@ def mask_to_result(matchbits, valid, ops_mult: int = 1) -> "StepResult":
     matched = matchbits > 0
     count = jnp.sum(matched.astype(jnp.int32))
     scores = jnp.where(matched, idx, jnp.int32(-1))
-    top, _ = jax.lax.top_k(scores, TOP_K)
+    top = top_k_match_indices(scores)
     vbits = jnp.where(top >= 0, matchbits[jnp.maximum(top, 0)], 0)
     ops = jnp.sum(valid.astype(jnp.int32)) * jnp.int32(ops_mult)
     return StepResult(count=count, indices=top, ops=ops, vbits=vbits)
@@ -510,8 +546,20 @@ INTERVAL_WORDS = {
 # excluded: the TapTweak scalar-mult dominates and is per-variant.
 GLV_FORMATS = (
     AddressFormat.P2PKH,
+    AddressFormat.P2PKH_UNCOMPRESSED,
     AddressFormat.P2WPKH,
     AddressFormat.P2SH_P2WPKH,
+    AddressFormat.ETHEREUM,
+)
+
+# GLV formats whose hashed value covers the full (x, y) point, so the ±
+# variant pair maps to exact {+y, -y} coordinates instead of the two
+# compressed-pubkey parity prefixes.  The device kernels run the full EC
+# finish (y needed) and the host resolves variant bits with
+# crypto.secp256k1.glv_bit_variant_keys(parity_exact=True): bit 2v+pi is
+# exactly key λ^v·k (pi=0, y=+y) or N−λ^v·k (pi=1, y=−y).
+GLV_EXACT_Y = (
+    AddressFormat.P2PKH_UNCOMPRESSED,
     AddressFormat.ETHEREUM,
 )
 
@@ -633,14 +681,15 @@ def glv_interval_mask(fmt: AddressFormat, x3, y3, lo, hi,
     """6-bit GLV variant mask per key: bit 2v+s set iff variant s*λ^v
     (s: 0=+, 1=-) of the key's point matches the intervals.
 
-    The 6 points are {x, βx, β²x} × {±y}.  For hash160 formats the ± pair is
-    exactly the two compressed-prefix parities, so y3 is never consulted
-    (pass None); Ethereum hashes full coordinates so y3 is required."""
+    The 6 points are {x, βx, β²x} × {±y}.  For compressed-hash160 formats
+    the ± pair is exactly the two compressed-prefix parities, so y3 is never
+    consulted (pass None); GLV_EXACT_Y formats (Ethereum, uncompressed
+    p2pkh) hash full coordinates so y3 is required."""
     from vgen_tpu.crypto import secp256k1 as ec
 
     beta = u256.constant(ec.BETA, x3.shape[1:])
     beta2 = u256.constant(ec.BETA2, x3.shape[1:])
-    ys = (y3, field.neg(y3)) if fmt == AddressFormat.ETHEREUM else None
+    ys = (y3, field.neg(y3)) if fmt in GLV_EXACT_Y else None
     mask = jnp.zeros(x3.shape[1:], dtype=jnp.int32)
     for v, xv in enumerate((x3, field.mul(x3, beta), field.mul(x3, beta2))):
         xb = None if unroll else u256.to_bytes_be(xv)
@@ -656,6 +705,17 @@ def glv_interval_mask(fmt: AddressFormat, x3, y3, lo, hi,
                     )
                     continue
                 h = eth_account(xv, ys[pi], unroll=unroll)
+            elif fmt == AddressFormat.P2PKH_UNCOMPRESSED:
+                if unroll:
+                    words = encode.hash160_65_words_from_xy(xv, ys[pi])
+                    m = in_intervals(words, lo, hi)
+                    mask = mask | jnp.where(
+                        m, jnp.int32(1 << (2 * v + pi)), 0
+                    )
+                    continue
+                h = encode.hash160_65(
+                    uncompressed_pubkey_bytes(xv, ys[pi]), unroll=unroll
+                )
             elif unroll:
                 # word path: int parity folds into the schedule constant
                 words = encode.hash160_33_words_from_x(xv, 2 + pi)

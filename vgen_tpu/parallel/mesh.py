@@ -651,6 +651,9 @@ class MeshScanner:
 
             K_slots = _pl.TOP_K
             cand_keys = []  # all windows of the super-batch, in order
+            # device-confirmed indices collected so far this super-batch
+            # (each derives to >= 1 real match); see scan.scanner drain_one
+            guaranteed = 0
             for j in range(arr.shape[0]):
                 base_d = base_scalar + j * self.batch
                 count = int(arr[j, 0])
@@ -667,7 +670,7 @@ class MeshScanner:
                     is_range
                     or (
                         target != float("inf")
-                        and len(matches)
+                        and len(matches) + len(cand_keys)
                         + len(idxs) * (6 if self.glv_active else 1)
                         < target
                     )
@@ -693,16 +696,19 @@ class MeshScanner:
                         pairs[dj] = 0  # bits unknown: check all variants
                         idxs = sorted(pairs)
                     total_ops += 6 if self.glv_active else 1
-                eth = self.fmt == AddressFormat.ETHEREUM
-                if idxs and len(matches) < target:
+                pexact = self.fmt in _pl.GLV_EXACT_Y
+                if idxs and len(matches) + guaranteed < target:
                     for idx in idxs:
                         key0 = base_d + 1 + idx
                         cand_keys.extend(
                             ec.glv_bit_variant_keys(
-                                key0, pairs.get(idx, 0), parity_exact=eth
+                                key0, pairs.get(idx, 0), parity_exact=pexact
                             )
                             if self.glv_active else [key0]
                         )
+                    guaranteed += sum(
+                        1 for idx in idxs if pairs.get(idx, 0) != 0
+                    )
             # one threaded native call for the whole super-batch's
             # candidates (see scan.scanner drain_one)
             for key, ga in _derive_checked_bulk(cand_keys, self.fmt, gen):

@@ -565,6 +565,12 @@ class DeviceScanner:
             arr = np.asarray(packed)  # ONE transfer: (K, [count, ops, idx...])
             K_slots = pipeline.TOP_K
             cand_keys: List[int] = []  # all K windows, in window/idx order
+            # device-confirmed indices collected so far this super-batch:
+            # each is >= 1 real match once derived, so the gates below see
+            # progress within the super-batch instead of a stale
+            # len(matches) (ADVICE r4: the old per-window code appended
+            # matches before the next window's gates ran)
+            guaranteed = 0
             for k, base_scalar in enumerate(base_scalars):
                 count = int(arr[k, 0])
                 total_ops += int(arr[k, 1])
@@ -581,10 +587,14 @@ class DeviceScanner:
                     is_range
                     or (
                         target != float("inf")
-                        and len(matches) + len(idxs) * (6 if glv else 1)
+                        and len(matches) + len(cand_keys)
+                        + len(idxs) * (6 if glv else 1)
                         < target
                     )
                 ):
+                    # recovery gate (random-only branch) is OPTIMISTIC:
+                    # len(cand_keys) counts every candidate collected so
+                    # far as a prospective match, like the idxs*6 term
                     # more matches than TOP_K result slots.  RANGE scans
                     # must report every key in the range: always fetch the
                     # full window.  RANDOM scans recover only when the
@@ -610,16 +620,26 @@ class DeviceScanner:
                         pairs[dj] = 0  # bits unknown: check all variants
                         idxs = sorted(pairs)
                     total_ops += 6 if glv else 1
-                if idxs and len(matches) < target:
-                    eth = config.format == AddressFormat.ETHEREUM
+                # collection gate is CONSERVATIVE (range scans must report
+                # matches in key order): `guaranteed` counts only
+                # device-confirmed indices, each of which derives to >= 1
+                # real match ahead of this window in cand_keys order
+                if idxs and len(matches) + guaranteed < target:
+                    pexact = config.format in pipeline.GLV_EXACT_Y
                     for idx in idxs:
                         key0 = base_scalar + 1 + idx
                         cand_keys.extend(
                             ec.glv_bit_variant_keys(
-                                key0, pairs.get(idx, 0), parity_exact=eth
+                                key0, pairs.get(idx, 0), parity_exact=pexact
                             )
                             if glv else [key0]
                         )
+                    # device-confirmed entries carry nonzero bits (vbits=1
+                    # non-GLV, variant mask on GLV); the host-added
+                    # doubling-slot entry (bits 0) is unconfirmed
+                    guaranteed += sum(
+                        1 for idx in idxs if pairs.get(idx, 0) != 0
+                    )
             # host-side re-derivation doubles as a device-correctness check
             # (the reference gets the same property by encoding GPU hashes
             # with an independent crate, SURVEY.md §4).  All of the
