@@ -6,12 +6,20 @@ This script produces that artifact (ROOFLINE.json):
 
 1. Measures each pipeline primitive ON DEVICE inside a Pallas kernel at the
    production V-tile block shape (16, 8, 512) -- the same layout the fused
-   scan kernels use (pallas_fused._tile_plan) -- with R serialized
-   repetitions and an empty-harness baseline subtracted, giving ns/key for:
+   scan kernels use (pallas_fused._tile_plan) -- giving ns/key for:
    field mul (weak), compressed hash160 word path, script-hash (P2SH's
    second hash160), uncompressed hash160 (2-block SHA), Ethereum
    account keccak, the P2TR tagged TapTweak SHA, and one lean Jacobian
    mixed add (the P2TR ladder window body).
+
+   Methodology (reworked round 5 -- ADVICE r4 found the old
+   empty-harness-subtract + max(delta, 0) clamp reported exactly 0.0 for
+   primitives cheaper than the ~4.5 ms dispatch-noise floor): each
+   primitive is timed at R and 2R serialized repetitions and costed as
+   (t(2R) - t(R)) / R, which cancels dispatch/copy overhead exactly.  R
+   doubles until the delta clears a measured noise floor; a primitive
+   whose delta never clears it is reported as a MEASUREMENT ERROR (the
+   script exits nonzero) instead of silently contributing 0 to bounds.
 
 2. Composes per-path per-key bounds from static op counts read off the
    kernels (citations inline below), mirroring how the reference's
@@ -47,11 +55,10 @@ jax.config.update(
 from vgen_tpu.ops import curve, encode, field, keccak, sha256, u256
 from vgen_tpu.ops.u256 import LIMB_MASK
 
-# R*B must be large enough that R repetitions of the primitive dominate
-# the ~4.5 ms fixed dispatch floor of the tunneled device link (measured:
-# an empty harness call costs 4.4-7.5 ms regardless of mode)
 B = int(os.environ.get("B", 524288))
-R = int(os.environ.get("R", 16))
+# starting rep count per primitive; measure() doubles it until the
+# (t(2R) - t(R)) delta clears the noise floor
+R0 = int(os.environ.get("R", 16))
 VSUB, TILE = 8, 512  # production block plan (pallas_fused._tile_plan)
 SPAN = B // VSUB
 
@@ -97,11 +104,11 @@ def _body(mode, a, b):
     raise ValueError(mode)
 
 
-def make(mode):
+def make(mode, reps):
     def kernel(a_ref, b_ref, o_ref):
         a = a_ref[...]
         b = b_ref[...]
-        for _ in range(R):
+        for _ in range(reps):
             a = _body(mode, a, b)
             b = b ^ a
         o_ref[...] = a
@@ -122,23 +129,59 @@ def _sync(r):
     np.asarray(jax.device_get(r.ravel()[:1]))
 
 
-def measure(mode, a, b, n=8):
-    f = make(mode)
-    t0 = time.perf_counter()
-    r = f(a, b)
-    _sync(r)
-    print(f"# {mode}: compile+first {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr, flush=True)
-    # per-call MIN: the tunneled dispatch adds multi-ms noise per call
-    best = float("inf")
+def _time_call(f, a, b, n=8):
+    """Best-of-n wall time of one compiled call (the tunneled dispatch adds
+    multi-ms noise per call; MIN is the right estimator for a fixed-work
+    kernel).  Also returns the spread (2nd best - best) as a jitter
+    estimate."""
+    times = []
     for _ in range(n):
         t0 = time.perf_counter()
         r = f(a, b)
         _sync(r)
-        best = min(best, time.perf_counter() - t0)
-    print(f"#   raw {mode}: {best * 1e3:.3f} ms/call (min of {n})",
-          file=sys.stderr, flush=True)
-    return best / R / B * 1e9  # ns/key
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[0], times[1] - times[0]
+
+
+def measure(mode, a, b, n=8, max_reps=4096):
+    """ns/key for one primitive via the two-rep-count delta:
+    cost = (t(2R) - t(R)) / R -- dispatch/copy overhead cancels exactly.
+    Doubles R until the delta clears the noise floor (5x per-call jitter,
+    min 1 ms).  Returns (ns_per_key, meta dict); ns_per_key is None when
+    the primitive stayed unmeasurable at max_reps (caller must treat this
+    as an error, NOT as zero -- ADVICE r4)."""
+    reps = R0
+    while True:
+        f1 = make(mode, reps)
+        f2 = make(mode, 2 * reps)
+        t0 = time.perf_counter()
+        r = f1(a, b)
+        _sync(r)
+        r = f2(a, b)
+        _sync(r)
+        print(f"# {mode} R={reps}: compile+first "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+        t1, j1 = _time_call(f1, a, b, n)
+        t2, j2 = _time_call(f2, a, b, n)
+        delta = t2 - t1
+        floor = max(5 * max(j1, j2), 1e-3)
+        print(f"#   {mode} R={reps}: t1={t1 * 1e3:.3f} ms t2={t2 * 1e3:.3f} "
+              f"ms delta={delta * 1e3:.3f} ms floor={floor * 1e3:.3f} ms",
+              file=sys.stderr, flush=True)
+        if delta >= floor:
+            meta = {"reps": reps, "t1_ms": round(t1 * 1e3, 3),
+                    "t2_ms": round(t2 * 1e3, 3),
+                    "delta_ms": round(delta * 1e3, 3),
+                    "floor_ms": round(floor * 1e3, 3)}
+            return delta / reps / B * 1e9, meta
+        if 2 * reps > max_reps:
+            return None, {"reps": reps, "t1_ms": round(t1 * 1e3, 3),
+                          "t2_ms": round(t2 * 1e3, 3),
+                          "delta_ms": round(delta * 1e3, 3),
+                          "floor_ms": round(floor * 1e3, 3),
+                          "error": "delta below noise floor at max reps"}
+        reps *= 2
 
 
 def main():
@@ -151,13 +194,24 @@ def main():
                                  dtype=np.uint32))
 
     prim = {}
-    base = measure("empty", a, b)
-    prim["empty_harness"] = base
+    prim_meta = {}
+    errors = []
     for mode in ("mulweak", "hash160c", "scripthash", "hash160u",
                  "keccak", "tagged", "leanadd"):
-        prim[mode] = max(measure(mode, a, b) - base, 0.0)
-        print(f"# {mode:10s}: {prim[mode]:7.2f} ns/key", file=sys.stderr,
-              flush=True)
+        ns, meta = measure(mode, a, b)
+        prim_meta[mode] = meta
+        if ns is None:
+            errors.append(mode)
+            print(f"# {mode:10s}: MEASUREMENT ERROR ({meta})",
+                  file=sys.stderr, flush=True)
+            continue
+        prim[mode] = ns
+        print(f"# {mode:10s}: {ns:7.2f} ns/key (R={meta['reps']})",
+              file=sys.stderr, flush=True)
+    if errors:
+        print(json.dumps({"error": "unmeasurable primitives",
+                          "primitives": errors}))
+        sys.exit(1)
 
     # Per-key op counts, from the kernels:
     #  - GLV interval paths (pallas_fused._make_range_glv_kernel): 6 keys
@@ -167,8 +221,9 @@ def main():
     #    equivalents/slot (fwd+bwd walk + amortized Fermat,
     #    pallas_fused.batch_inverse_dx_pallas) => ~8 muls / 6 keys.
     #  - per KEY: one hash160 word path (two for P2SH: script_hash_words).
-    #  - uncompressed (NOT in GLV_FORMATS, 1 key/add): full finish ~3 muls
-    #    + chain ~4 muls + one 2-block hash160_65.
+    #  - uncompressed (GLV since round 5, full finish because the hash
+    #    covers (x, y)): per slot full finish ~3 muls + chain ~4 + beta
+    #    muls 2 => ~9 muls / 6 keys; per key one 2-block hash160_65.
     #  - P2TR (pallas_fused._make_p2tr_ladder_kernel): EC finish (~3) +
     #    tagged TapTweak SHA + 32 lean mixed adds + chain ~4 + ladder
     #    output normalization ~5 muls; the per-window one-hot table
@@ -176,13 +231,14 @@ def main():
     #    in the VPU bound.
     m = prim["mulweak"]
     glv_ec = 8.0 * m / 6.0
+    glv_ec_full = 9.0 * m / 6.0  # full (x, y) finish: one more mul/slot
     bounds = {
         "p2pkh/interval": prim["hash160c"] + glv_ec,
         "p2wpkh/interval": prim["hash160c"] + glv_ec,
         "p2sh-p2wpkh/interval": prim["hash160c"] + prim["scripthash"]
         + glv_ec,
-        "ethereum/interval": prim["keccak"] + glv_ec,
-        "p2pkh-uncompressed/interval": prim["hash160u"] + 7.0 * m,
+        "ethereum/interval": prim["keccak"] + glv_ec_full,
+        "p2pkh-uncompressed/interval": prim["hash160u"] + glv_ec_full,
         "p2tr/interval": prim["tagged"] + 32.0 * prim["leanadd"]
         + 12.0 * m,
     }
@@ -213,15 +269,18 @@ def main():
     out = {
         "device": dev.device_kind,
         "block": [16, VSUB, TILE],
-        "reps": R,
         "batch": B,
         "primitives_ns_per_key": {k: round(v, 3) for k, v in prim.items()},
+        "primitive_measurements": prim_meta,
         "paths": rows,
         "note": (
             "bound = sum of measured primitive costs at the production "
-            "V-tile shape; DFA rows excluded (pattern-dependent automaton "
-            "cost). utilization = bound/achieved; >1 would mean a counting "
-            "error, ~0.5-0.9 is healthy (dispatch, pack, chain tails)."
+            "V-tile shape; primitive cost = (t(2R)-t(R))/R two-point delta "
+            "(dispatch overhead cancels; R doubled until the delta clears "
+            "the noise floor -- see primitive_measurements). DFA rows "
+            "excluded (pattern-dependent automaton cost). utilization = "
+            "bound/achieved; >1 would mean a counting error, ~0.5-0.9 is "
+            "healthy (dispatch, pack, chain tails)."
         ),
     }
     path = os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.json")
