@@ -135,3 +135,29 @@ def test_unknown_collection_error_mentions_hook(monkeypatch):
 
     with pytest.raises(provider.ProviderError, match="VGEN_TPU_PUZZLES"):
         provider.resolve("boha:gsmg:1")
+
+
+def test_unknown_collection_error_has_recipe():
+    """The unknown-collection failure must be a copy-pasteable recipe: the
+    exact JSON schema with the user's own collection/id spliced in."""
+    import pytest
+
+    from vgen_tpu.provider import ProviderError, resolve
+
+    with pytest.raises(ProviderError) as ei:
+        resolve("boha:gsmg:1")
+    msg = str(ei.value)
+    assert '{"gsmg": {"1": {"address"' in msg
+    assert "$VGEN_TPU_PUZZLES" in msg
+    assert "boha:gsmg:1" in msg
+
+
+def test_missing_b1000_entry_error_has_recipe():
+    import pytest
+
+    from vgen_tpu.provider import ProviderError, resolve
+
+    with pytest.raises(ProviderError) as ei:
+        resolve("boha:b1000:101")  # unsolved, no embedded address
+    msg = str(ei.value)
+    assert '{"b1000": {"101": {"address"' in msg

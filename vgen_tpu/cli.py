@@ -691,14 +691,34 @@ def cmd_list_devices(args) -> int:
     devices = []
     try:
         for dev in jax.devices():
-            devices.append(
-                {
-                    "id": dev.id,
-                    "platform": dev.platform,
-                    "kind": getattr(dev, "device_kind", str(dev)),
-                    "process": dev.process_index,
-                }
-            )
+            info = {
+                "id": dev.id,
+                "platform": dev.platform,
+                "kind": getattr(dev, "device_kind", str(dev)),
+                "process": dev.process_index,
+                # the TPU-world analog of the reference's software-
+                # rasterizer flag (gpu.rs:65-80, llvmpipe/SwiftShader):
+                # XLA:CPU enumerates as a device but is emulation, and
+                # resolve_use_device treats it as "no accelerator"
+                "software": dev.platform == "cpu",
+            }
+            coords = getattr(dev, "coords", None)
+            if coords is not None:
+                info["coords"] = list(coords)
+            core = getattr(dev, "core_on_chip", None)
+            if core is not None:
+                info["core_on_chip"] = core
+            try:
+                stats = dev.memory_stats() or {}
+                lim = stats.get("bytes_limit")
+                use = stats.get("bytes_in_use")
+                if lim is not None:
+                    info["hbm_bytes_limit"] = lim
+                if use is not None:
+                    info["hbm_bytes_in_use"] = use
+            except Exception:
+                pass  # memory_stats unsupported on some backends
+            devices.append(info)
     except Exception as e:
         print(f"error enumerating devices: {e}", file=sys.stderr)
         return 1
@@ -709,7 +729,13 @@ def cmd_list_devices(args) -> int:
     if not devices:
         print("  (none)")
     for i, d in enumerate(devices):
-        print(f"  {i + 1}. {d['kind']} ({d['platform']}) - id {d['id']}")
+        extra = " [software]" if d["software"] else ""
+        mem = ""
+        if "hbm_bytes_limit" in d:
+            mem = f", {d['hbm_bytes_limit'] / 2**30:.1f} GiB HBM"
+        coords = f", coords {d['coords']}" if "coords" in d else ""
+        print(f"  {i + 1}. {d['kind']} ({d['platform']}) - id {d['id']}"
+              f"{mem}{coords}{extra}")
     return 0
 
 

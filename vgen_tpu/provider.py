@@ -177,9 +177,17 @@ def _resolve_boha(path: str) -> ProviderResult:
             )
             return ProviderResult(ext["address"], fmt, key_range)
         raise ProviderError(
-            f"unknown collection '{collection}' (b1000 is embedded; other "
-            f"boha collections resolve via $VGEN_TPU_PUZZLES -- see "
-            f"vgen_tpu/provider.py)"
+            f"unknown collection '{collection}': only b1000 is embedded "
+            f"(this offline build cannot verify third-party puzzle data; "
+            f"the reference pulls it from the boha crate at build time). "
+            f"To use it, write the puzzle data to a JSON file and point "
+            f"$VGEN_TPU_PUZZLES at it (or ~/.config/vgen_tpu/puzzles.json):"
+            f'\n  {{"{collection}": {{"{num_str}": {{'
+            f'"address": "1YourTargetAddress...", "kind": "p2pkh", '
+            f'"range": ["1", "ffffffff"]}}}}}}'
+            f"\nkind: p2pkh|p2wpkh|p2sh-p2wpkh|p2tr|ethereum; range "
+            f"(optional): [lo_hex, hi_hex] private-key bounds. Then rerun: "
+            f"vgen-tpu generate -p 'boha:{collection}:{num_str}'"
         )
     try:
         n = int(num_str)
@@ -204,8 +212,13 @@ def _resolve_boha(path: str) -> ProviderResult:
             _B1000_ADDRESSES[n], AddressFormat.P2PKH, key_range
         )
     raise ProviderError(
-        f"puzzle b1000/{n} has no embedded address data "
-        f"(supply it via $VGEN_TPU_PUZZLES, see vgen_tpu/provider.py)"
+        f"puzzle b1000/{n} has no embedded address data. Supply it via a "
+        f"JSON file at $VGEN_TPU_PUZZLES (or "
+        f"~/.config/vgen_tpu/puzzles.json):"
+        f'\n  {{"b1000": {{"{n}": {{"address": "1ThePuzzleAddress...", '
+        f'"kind": "p2pkh"}}}}}}'
+        f"\n(the key range [2^{n - 1}, 2^{n}-1] is implied by the puzzle "
+        f"number)"
     )
 
 
