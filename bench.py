@@ -42,7 +42,14 @@ EMITTED = threading.Event()
 
 
 def emit():
-    """Print the single JSON line (exactly once)."""
+    """Print the single JSON line (exactly once).
+
+    Written straight to file descriptor 1: the validation stage runs the
+    worker under contextlib.redirect_stdout(sys.stderr) (its prints are
+    progress, not the result), and redirect_stdout swaps the GLOBAL
+    sys.stdout -- a SIGTERM landing mid-validation would otherwise send
+    this line to stderr where the driver's stdout parse cannot see it
+    (observed round 5: the 650 M line ended up in the stderr log)."""
     if EMITTED.is_set():
         return
     EMITTED.set()
@@ -66,7 +73,7 @@ def emit():
         err = f"benchmark did not complete (stage={STATE['stage']})"
     if err is not None:
         out["error"] = err
-    print(json.dumps(out), flush=True)
+    os.write(1, (json.dumps(out) + "\n").encode())
     if STATE["detail"]:
         print(STATE["detail"], file=sys.stderr)
 

@@ -203,30 +203,54 @@ def _make_glv_dfa_kernel(fmt: AddressFormat, vsub: int, tile: int,
         i = pl.program_id(0)
         bx = bx_ref[:, 0, 0][:, None, None]
         by = by_ref[:, 0, 0][:, None, None]
-        if fmt in pipeline.GLV_EXACT_Y:
+        exact_y = fmt in pipeline.GLV_EXACT_Y
+        if exact_y:
             x3, y3, valid = _ec_finish(bx, by, tx_ref[...], ty_ref[...],
                                        inv_ref[...])
-            ys = (y3, field.neg(y3))
+            ny3 = field.neg(y3)
         else:
             x3, valid = _ec_finish_x(bx, by, tx_ref[...], ty_ref[...],
                                      inv_ref[...])
-            ys = (None, None)
+            y3 = ny3 = None
         start = start_ref[0]
         remaining = rem_ref[0]
         valid = valid & (_tile_gidx(i, vsub, tile, span) < remaining)
         beta = u256.constant(ec.BETA, x3.shape[1:])
-        beta2 = u256.constant(ec.BETA2, x3.shape[1:])
-        bits = jnp.zeros(x3.shape[1:], dtype=jnp.int32)
-        for v, xv in enumerate(
-            (x3, field.mul(x3, beta), field.mul(x3, beta2))
-        ):
-            for pi in range(2):
-                syms, length = pipeline.glv_variant_symbols(
-                    fmt, xv, ys[pi], pi, b58_ref[...], unroll=True
-                )
-                m = _match_tile(dfa_ref[...], acc_ref[...], start, syms,
-                                length)
-                bits = bits | jnp.where(m, jnp.int32(1 << (2 * v + pi)), 0)
+        b58 = b58_ref[...]
+        dfa = dfa_ref[...]
+        acc = acc_ref[...]
+
+        # The 6 variants run under ONE traced fori_loop body (w = 2v+pi;
+        # xv advances by a beta mul at each even w>0; the hash word paths
+        # accept the traced parity 2+pi).  The round-4 version unrolled
+        # all 6 pipelines inline, and the resulting VMEM live set capped
+        # tiles at 512-1024 keys -- 128-lane tiles the VPU runs at ~1/4
+        # efficiency (scripts/microbench_rows.py).  One traced body keeps
+        # the live set at a single variant's pipeline, so the budget in
+        # fused_match_fn rises to the plain-DFA 2048.
+        def body(w, carry):
+            xv, bits = carry
+            pi = w % 2
+            xv = u256.select(
+                jnp.broadcast_to((pi == 0) & (w > 0), xv.shape[1:]),
+                field.mul(xv, beta), xv,
+            )
+            yv = (
+                u256.select(jnp.broadcast_to(pi == 0, y3.shape[1:]),
+                            y3, ny3)
+                if exact_y else None
+            )
+            syms, length = pipeline.glv_variant_symbols(
+                fmt, xv, yv, pi, b58, unroll=True
+            )
+            m = _match_tile(dfa, acc, start, syms, length)
+            bits = bits | jnp.where(m, jnp.int32(1) << w, 0)
+            return xv, bits
+
+        _, bits = jax.lax.fori_loop(
+            0, 6, body,
+            (x3, jnp.zeros(x3.shape[1:], dtype=jnp.int32)),
+        )
         match_ref[0] = jnp.where(valid, bits, 0)
 
     return kernel
@@ -238,13 +262,12 @@ def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
     """Compiled fused matcher: (start, remaining, bx, by, tx, ty, inv_dx,
     dfa_f32 (S,W), accept_f32 (S,1)) -> match (1, batch) int32."""
     width = pipeline.FORMAT_DFA_WIDTH[fmt]
-    # VMEM budget (measured scoped-VMEM OOMs, round 3): plain DFA fits
-    # 2048 keys/tile, GLV-DFA 1024, GLV_EXACT_Y GLV-DFA 512 (6 unrolled
-    # keccaks / 6 two-block hash160_65s)
-    if glv:
-        max_keys = 512 if fmt in pipeline.GLV_EXACT_Y else 1024
-    else:
-        max_keys = 2048
+    # VMEM budget (measured scoped-VMEM OOMs): plain DFA fits 2048
+    # keys/tile; the GLV kernel matches it since round 5's fori_loop
+    # variant body (one variant's pipeline live at a time -- the round-4
+    # all-6-unrolled version was capped at 512-1024 keys and ran on
+    # 128-lane tiles)
+    max_keys = 2048
     vsub, tile = _tile_plan(batch, tile, max_keys=max_keys)
     span = batch // vsub
     grid = span // tile
