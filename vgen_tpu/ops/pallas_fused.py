@@ -220,37 +220,57 @@ def _make_glv_dfa_kernel(fmt: AddressFormat, vsub: int, tile: int,
         dfa = dfa_ref[...]
         acc = acc_ref[...]
 
-        # The 6 variants run under ONE traced fori_loop body (w = 2v+pi;
-        # xv advances by a beta mul at each even w>0; the hash word paths
-        # accept the traced parity 2+pi).  The round-4 version unrolled
-        # all 6 pipelines inline, and the resulting VMEM live set capped
-        # tiles at 512-1024 keys -- 128-lane tiles the VPU runs at ~1/4
-        # efficiency (scripts/microbench_rows.py).  One traced body keeps
-        # the live set at a single variant's pipeline, so the budget in
-        # fused_match_fn rises to the plain-DFA 2048.
-        def body(w, carry):
-            xv, bits = carry
-            pi = w % 2
-            xv = u256.select(
-                jnp.broadcast_to((pi == 0) & (w > 0), xv.shape[1:]),
-                field.mul(xv, beta), xv,
-            )
-            yv = (
-                u256.select(jnp.broadcast_to(pi == 0, y3.shape[1:]),
-                            y3, ny3)
-                if exact_y else None
-            )
-            syms, length = pipeline.glv_variant_symbols(
-                fmt, xv, yv, pi, b58, unroll=True
-            )
-            m = _match_tile(dfa, acc, start, syms, length)
-            bits = bits | jnp.where(m, jnp.int32(1) << w, 0)
-            return xv, bits
+        # Variant scheduling (round-5 measurements, p2pkh / ethereum
+        # dfa-pure cells):
+        # - exact-y formats: ONE traced fori_loop over all 6 variants
+        #   (yv selected by parity bit).  Live set = 1 pipeline -> the
+        #   VMEM budget doubles to 2048 keys/tile and the rate went
+        #   44.8 -> 76 M (ethereum).
+        # - parity (compressed-hash160) formats: fori_loop over the 3
+        #   beta powers with the +- pair UNROLLED inside (pi stays a
+        #   Python int, preserving the hash word path's parity partial
+        #   evaluation -- tracing the parity into the SHA schedule
+        #   measured 25% slower on p2pkh despite 2x bigger tiles).  The
+        #   2-pipeline pair body exceeds scoped VMEM at 2048 (23.7M
+        #   vs 16M), so the budget stays 1024.
+        zero_bits = jnp.zeros(x3.shape[1:], dtype=jnp.int32)
+        if exact_y:
+            def body(w, carry):
+                xv, bits = carry
+                pi = w % 2
+                xv = u256.select(
+                    jnp.broadcast_to((pi == 0) & (w > 0), xv.shape[1:]),
+                    field.mul(xv, beta), xv,
+                )
+                yv = u256.select(
+                    jnp.broadcast_to(pi == 0, y3.shape[1:]), y3, ny3
+                )
+                syms, length = pipeline.glv_variant_symbols(
+                    fmt, xv, yv, pi, b58, unroll=True
+                )
+                m = _match_tile(dfa, acc, start, syms, length)
+                bits = bits | jnp.where(m, jnp.int32(1) << w, 0)
+                return xv, bits
 
-        _, bits = jax.lax.fori_loop(
-            0, 6, body,
-            (x3, jnp.zeros(x3.shape[1:], dtype=jnp.int32)),
-        )
+            _, bits = jax.lax.fori_loop(0, 6, body, (x3, zero_bits))
+        else:
+            def body(v, carry):
+                xv, bits = carry
+                xv = u256.select(
+                    jnp.broadcast_to(v > 0, xv.shape[1:]),
+                    field.mul(xv, beta), xv,
+                )
+                for pi in range(2):
+                    syms, length = pipeline.glv_variant_symbols(
+                        fmt, xv, None, pi, b58, unroll=True
+                    )
+                    m = _match_tile(dfa, acc, start, syms, length)
+                    bits = bits | jnp.where(
+                        m, jnp.int32(1 << pi) << (2 * v), 0
+                    )
+                return xv, bits
+
+            _, bits = jax.lax.fori_loop(0, 3, body, (x3, zero_bits))
         match_ref[0] = jnp.where(valid, bits, 0)
 
     return kernel
@@ -263,11 +283,16 @@ def fused_match_fn(fmt: AddressFormat, batch: int, n_states: int,
     dfa_f32 (S,W), accept_f32 (S,1)) -> match (1, batch) int32."""
     width = pipeline.FORMAT_DFA_WIDTH[fmt]
     # VMEM budget (measured scoped-VMEM OOMs): plain DFA fits 2048
-    # keys/tile; the GLV kernel matches it since round 5's fori_loop
-    # variant body (one variant's pipeline live at a time -- the round-4
-    # all-6-unrolled version was capped at 512-1024 keys and ran on
-    # 128-lane tiles)
-    max_keys = 2048
+    # keys/tile.  GLV: exact-y formats' single-pipeline traced body also
+    # fits 2048; the parity pair body needs 1024 (23.7M at 2048 vs the
+    # 16M scoped limit).  VGEN_GLV_DFA_KEYS overrides for sweeps.
+    import os as _os
+
+    if glv:
+        default_keys = 2048 if fmt in pipeline.GLV_EXACT_Y else 1024
+        max_keys = int(_os.environ.get("VGEN_GLV_DFA_KEYS", default_keys))
+    else:
+        max_keys = 2048
     vsub, tile = _tile_plan(batch, tile, max_keys=max_keys)
     span = batch // vsub
     grid = span // tile
