@@ -8,7 +8,8 @@ jax.distributed + gloo cluster (4 devices each), fixed work, compile
 excluded.  Cross-process overhead (gloo collectives over localhost,
 double host dispatch) is exactly what divides the two rates.
 
-Writes DISTRIBUTED_r04.json.  Env: KEYS (default 2_000_000), BATCH
+Writes DISTRIBUTED_r{NN}.json (VGEN_ROUND, default 05).  Env: KEYS
+(default 2_000_000), BATCH
 (default 4096).
 """
 
@@ -122,7 +123,8 @@ def main() -> None:
         },
         "efficiency": r2 / r1 if r1 > 0 else 0.0,
     }
-    path = os.path.join(REPO, "DISTRIBUTED_r04.json")
+    rnd = os.environ.get("VGEN_ROUND", "05")
+    path = os.path.join(REPO, f"DISTRIBUTED_r{rnd}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

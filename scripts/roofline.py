@@ -236,34 +236,50 @@ def measure(mode, a, b, n=8, max_reps=4096):
 
 
 def main():
-    dev = jax.devices()[0]
-    print(f"# device: {dev.device_kind}", file=sys.stderr, flush=True)
-    rng = np.random.default_rng(11)
-    a = jnp.asarray(rng.integers(0, 1 << 16, size=(16, VSUB, SPAN),
-                                 dtype=np.uint32))
-    b = jnp.asarray(rng.integers(0, 1 << 16, size=(16, VSUB, SPAN),
-                                 dtype=np.uint32))
+    out_path = os.path.join(os.path.dirname(__file__), "..",
+                            "ROOFLINE.json")
+    # --paths-only: reuse the committed primitive measurements (they do
+    # not depend on BENCH_MATRIX) and recompute only the paths section
+    # against the current matrix.  Each primitive costs minutes of
+    # (cache-defeating) Mosaic recompiles per full run; re-running them
+    # after a matrix refresh measures nothing new.
+    paths_only = "--paths-only" in sys.argv[1:]
+    if paths_only:
+        with open(out_path) as f:
+            prev = json.load(f)
+        prim = prev["primitives_ns_per_key"]
+        prim_meta = prev.get("primitive_measurements", {})
+        dev_kind = prev["device"]
+    else:
+        dev = jax.devices()[0]
+        dev_kind = dev.device_kind
+        print(f"# device: {dev_kind}", file=sys.stderr, flush=True)
+        rng = np.random.default_rng(11)
+        a = jnp.asarray(rng.integers(0, 1 << 16, size=(16, VSUB, SPAN),
+                                     dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 1 << 16, size=(16, VSUB, SPAN),
+                                     dtype=np.uint32))
 
-    prim = {}
-    prim_meta = {}
-    errors = []
-    for mode in ("mulweak", "hash160c", "scripthash", "hash160u",
-                 "keccak", "tagged", "leanadd", "dfachar60", "dfachar24",
-                 "b58syms", "ethsyms"):
-        ns, meta = measure(mode, a, b)
-        prim_meta[mode] = meta
-        if ns is None:
-            errors.append(mode)
-            print(f"# {mode:10s}: MEASUREMENT ERROR ({meta})",
+        prim = {}
+        prim_meta = {}
+        errors = []
+        for mode in ("mulweak", "hash160c", "scripthash", "hash160u",
+                     "keccak", "tagged", "leanadd", "dfachar60",
+                     "dfachar24", "b58syms", "ethsyms"):
+            ns, meta = measure(mode, a, b)
+            prim_meta[mode] = meta
+            if ns is None:
+                errors.append(mode)
+                print(f"# {mode:10s}: MEASUREMENT ERROR ({meta})",
+                      file=sys.stderr, flush=True)
+                continue
+            prim[mode] = ns
+            print(f"# {mode:10s}: {ns:7.2f} ns/key (R={meta['reps']})",
                   file=sys.stderr, flush=True)
-            continue
-        prim[mode] = ns
-        print(f"# {mode:10s}: {ns:7.2f} ns/key (R={meta['reps']})",
-              file=sys.stderr, flush=True)
-    if errors:
-        print(json.dumps({"error": "unmeasurable primitives",
-                          "primitives": errors}))
-        sys.exit(1)
+        if errors:
+            print(json.dumps({"error": "unmeasurable primitives",
+                              "primitives": errors}))
+            sys.exit(1)
 
     # Per-key op counts, from the kernels:
     #  - GLV interval paths (pallas_fused._make_range_glv_kernel): 6 keys
@@ -341,7 +357,7 @@ def main():
               file=sys.stderr, flush=True)
 
     out = {
-        "device": dev.device_kind,
+        "device": dev_kind,
         "block": [16, VSUB, TILE],
         "batch": B,
         "primitives_ns_per_key": {k: round(v, 3) for k, v in prim.items()},
@@ -362,8 +378,7 @@ def main():
             "dfachar/b58syms/ethsyms primitives."
         ),
     }
-    path = os.path.join(os.path.dirname(__file__), "..", "ROOFLINE.json")
-    with open(path, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"rows": len(rows)}))
 
