@@ -32,3 +32,28 @@ def test_fallback_width_one():
     inv = np.asarray(pallas_fused.batch_inverse_chain_pallas(limbs))
     g = u256.to_int(inv)[0]
     assert (v * g) % ec.P == 1
+
+
+def test_fallback_guard_zero():
+    """guard_zero=True maps zero inputs to finite garbage and still
+    inverts every nonzero entry exactly (the P2TR Z-chain contract:
+    dead lanes are masked by the caller)."""
+    import random
+
+    rng = random.Random(7)
+    n = 96
+    vals = [rng.randrange(1, ec.P - 1) for _ in range(n)]
+    for dead in (0, 17, 95):
+        vals[dead] = 0
+    limbs = jnp.asarray(
+        np.stack([np.asarray(u256.from_int(v)) for v in vals], axis=1)
+    )
+    inv = np.asarray(
+        pallas_fused.batch_inverse_chain_pallas(limbs, guard_zero=True)
+    )
+    got = u256.to_int(inv)
+    for v, g in zip(vals, got):
+        if v:
+            assert (v * g) % ec.P == 1
+        else:
+            assert 0 <= g < ec.P  # finite, caller masks
