@@ -825,7 +825,12 @@ def _make_p2tr_ladder_kernel(vsub: int, tile: int, finish: bool = False):
 def p2tr_ladder_fn(batch: int, tile: int = DEFAULT_TILE):
     """Compiled VMEM-resident TapTweak ladder: (x, y (16,B), loT, hiT
     (32,32,256) f32 byte planes of the window table, [window, limb-col,
-    digit] order) -> (X, Y, Z (16,B) Jacobian output key, ok (1,B))."""
+    digit] order) -> (X, Y, Z (16,B) Jacobian output key, ok (1,B)).
+
+    max_keys=2048 is MEASURED optimal: (8,512) 4096-key tiles were tried
+    (round 5, chasing the leanadd-at-(8,512) roofline) and ran 7% SLOWER
+    (5.46 vs 5.85 M e2e) -- the ladder's 4 carried state arrays + table
+    planes spill at the larger tile, outweighing the extra ILP."""
     vsub, tile = _tile_plan(batch, tile, max_keys=2048)
     span = batch // vsub
     grid = span // tile
@@ -909,7 +914,8 @@ def p2tr_planes(window_table):
 def p2tr_ladder_finish_fn(batch: int, tile: int = DEFAULT_TILE):
     """EC finish + TapTweak + windowed ladder in ONE kernel:
     (bx, by (16,), tx, ty, inv_dx (16,B), loT, hiT (32,32,256)) ->
-    (X, Y, Z (16,B) Jacobian output key, ok (1,B) incl. dx-validity)."""
+    (X, Y, Z (16,B) Jacobian output key, ok (1,B) incl. dx-validity).
+    max_keys=2048 measured optimal (see p2tr_ladder_fn: 4096 spills)."""
     vsub, tile = _tile_plan(batch, tile, max_keys=2048)
     span = batch // vsub
     grid = span // tile
