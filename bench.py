@@ -18,7 +18,8 @@ Stage wall-times go to stderr so any future truncation is diagnosable.
 
 Env knobs: VGEN_BENCH_BATCH (default 524288), VGEN_BENCH_SECONDS (default
 10), VGEN_BENCH_PATTERN (default "^1C"), VGEN_BENCH_CHAIN (default 1024),
-VGEN_BENCH_KSUB (default 8), VGEN_BENCH_VALIDATE (1 default / 0 / full),
+VGEN_BENCH_KSUB (default 16; round-5 sweep: 653.5 vs 650.0 Mkeys/s at 8),
+VGEN_BENCH_VALIDATE (1 default / 0 / full),
 VGEN_BENCH_DEADLINE (default 780).
 """
 
@@ -106,7 +107,7 @@ def worker(deadline: float):
         seconds = float(os.environ.get("VGEN_BENCH_SECONDS", 10))
         pattern = os.environ.get("VGEN_BENCH_PATTERN", "^1C")
         chain = int(os.environ.get("VGEN_BENCH_CHAIN", 1024))
-        k_sub = int(os.environ.get("VGEN_BENCH_KSUB", 8))
+        k_sub = int(os.environ.get("VGEN_BENCH_KSUB", 16))
 
         # a dead TPU runtime HANGS in backend init rather than raising;
         # the main thread's deadline turns that into an honest error line

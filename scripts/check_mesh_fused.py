@@ -38,7 +38,11 @@ from vgen_tpu.scan.scanner import (
 
 SECS = float(os.environ.get("SECS", 8))
 B = int(os.environ.get("B", DEFAULT_DEVICE_BATCH))
-PAT = os.environ.get("VGEN_BENCH_PATTERN", "^1C")
+# never-match: the rate phase runs count=10**9, and a matching pattern
+# floods the host drain with millions of derivations (observed round 5:
+# the ^1C default burned 25+ CPU-minutes without finishing a super-batch
+# comparison).  Mesh-vs-single overhead is pattern-independent.
+PAT = os.environ.get("VGEN_BENCH_PATTERN", "^1CBenchNeverMatchesXx")
 
 out = {"n_devices": len(jax.devices())}
 mesh = make_mesh(jax.devices())
@@ -91,9 +95,12 @@ pat = Pattern(PAT)
 ms = MeshScanner(AddressFormat.P2PKH, B, chain_len=CHAIN_LEN, mesh=mesh)
 # warmup (compile)
 ws = StopFlag()
-ms.scan(pat, count=10**9, stop_flag=ws, max_super_batches=3)
+# in_flight=4 matches the product default (ScanConfig.in_flight) -- the
+# scan() signature default of 2 measured 0.68x of single-chip purely from
+# pipeline depth at the round-5 step rate, not from mesh overhead
+ms.scan(pat, count=10**9, stop_flag=ws, max_super_batches=3, in_flight=4)
 mesh_rate = timed_rate(lambda stop, cb: ms.scan(
-    pat, count=10**9, stop_flag=stop, progress_callback=cb))
+    pat, count=10**9, stop_flag=stop, progress_callback=cb, in_flight=4))
 print(f"mesh rate     : {mesh_rate/1e6:.1f} Mkeys/s "
       f"({len(jax.devices())} device(s))")
 

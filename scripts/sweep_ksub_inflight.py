@@ -26,7 +26,10 @@ B = int(os.environ.get("B", 524288))
 KS = [int(k) for k in os.environ.get("KS", "8,16").split(",")]
 IF = [int(k) for k in os.environ.get("IF", "4,8").split(",")]
 SECS = float(os.environ.get("SECS", 6))
-PAT = os.environ.get("VGEN_BENCH_PATTERN", "^1C")
+# never-match: with a matching pattern and a huge count target the
+# random-scan overflow recovery re-derives EVERY window on the host
+# (measured round 5: the ^1C default stalled the sweep for 40+ min)
+PAT = os.environ.get("VGEN_BENCH_PATTERN", "^1CBenchNeverMatchesXx")
 
 best = (0.0, None)
 for k_sub in KS:
